@@ -1,0 +1,115 @@
+"""Signal-reconstruction (convolution) problem.
+
+Re-design of ``/root/reference/julia_opt/example_convolution.jl`` (Section 6.2
+of Marko & Wachsmuth, ESAIM:COCV 2023): a single 5-level integer control, no
+differential equation — the objective is the quadratic
+
+    f(u) = ½ (K u − f̂)ᵀ M (K u − f̂)
+
+with a precomputed Toeplitz kernel-integral matrix ``K`` (analytic
+antiderivative, ``example_convolution.jl:60-63,104-125``) and the hat-function
+Gram (mass) matrix ``M`` (``:85-100``).  ``K u`` is a dense matmul — exactly
+what the MXU is for; ``M`` is applied as a tridiagonal stencil instead of a
+dense matrix.
+
+This is the DP stress configuration (nt=2048, L=5, B≈128).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..objectives.base import LazyObjective
+from ..ops.levels import product_levels
+
+__all__ = ["ConvObj", "gauss_legendre5"]
+
+
+def gauss_legendre5(f, a, b):
+    """5-point Gauss-Legendre quadrature of ``f`` over ``(a, b)``.
+
+    Capability parity with ``GaußLegendre5`` (``example_convolution.jl:144-154``)
+    — the fallback used to build ``K`` when the kernel's antiderivative is
+    unknown.
+    """
+    w = np.array([0.236926885056189, 0.478628670499366, 0.568888888888889,
+                  0.478628670499366, 0.236926885056189])
+    x = np.array([-0.906179845938664, -0.538469310105683, 0.0,
+                  0.538469310105683, 0.906179845938664])
+    y = (b - a) / 2 * x + (a + b) / 2
+    return (b - a) / 2 * np.dot(w, np.vectorize(f)(y))
+
+
+def _toeplitz(nt, tau, int_k):
+    """Kernel-integral Toeplitz matrix, ``example_convolution.jl:104-125``:
+    ``K[r, c] = ∫ k`` over one grid cell at lag ``d = r − c ≥ 1`` (0-based)."""
+    d = np.arange(nt + 1)[:, None] - np.arange(nt)[None, :]
+    vals = np.zeros(nt + 2)
+    lags = np.arange(1, nt + 2)
+    vals[1:] = int_k(lags * tau) - int_k((lags - 1) * tau)
+    return np.where(d >= 1, vals[np.clip(d, 0, nt + 1)], 0.0)
+
+
+class ConvObj(LazyObjective):
+    def __init__(self, nt: int = 2048, *, omega0=np.pi, dtype=None):
+        super().__init__()
+        self.T0, self.T1 = -1.0, 1.0
+        self.nt = int(nt)
+        self.tau = (self.T1 - self.T0) / self.nt
+        self.omega0 = float(omega0)
+        self.V = [[-2, -1, 0, 1, 2]]
+        self.admissible = product_levels(self.V)
+        self.nu, self.nv = 0, 1
+        self.dtype = dtype or jnp.result_type(float)
+
+        tau, T0 = self.tau, self.T0
+
+        # Target samples; the reference samples target(T0 + τ·i) for i = 1…nt+1
+        # (example_convolution.jl:73-81) — i.e. shifted one grid cell right.
+        i = np.arange(1, self.nt + 2)
+        fvec = 0.4 * np.cos(2 * np.pi * (T0 + tau * i))
+
+        # Antiderivative of the kernel (example_convolution.jl:60-63).
+        w0 = self.omega0
+
+        def int_k(t):
+            a = w0 * (t - 1.0) / np.sqrt(2.0)
+            return 0.1 * np.exp(-a) * (np.sin(a) + np.cos(a))
+
+        K = _toeplitz(self.nt, tau, int_k)
+
+        self.fvec = jnp.asarray(fvec, dtype=self.dtype)
+        self.K = jnp.asarray(K, dtype=self.dtype)
+        self.x = jnp.zeros((self.nt, 1), dtype=self.dtype)
+
+        # Tridiagonal mass-matrix stencil (example_convolution.jl:85-100):
+        # diag τ/3 at both ends, 2τ/3 inside; off-diagonals τ/6.
+        diag = np.full(self.nt + 1, 2.0 * tau / 3.0)
+        diag[0] = diag[-1] = tau / 3.0
+        self._Mdiag = jnp.asarray(diag, dtype=self.dtype)
+        self._Moff = tau / 6.0
+
+        def mass_mv(v):
+            out = self._Mdiag * v
+            out = out.at[:-1].add(self._Moff * v[1:])
+            out = out.at[1:].add(self._Moff * v[:-1])
+            return out
+
+        def f_fn(x):
+            v = self.K @ x[:, 0] - self.fvec
+            return 0.5 * jnp.dot(v, mass_mv(v))
+
+        def df_fn(x):
+            v = self.K @ x[:, 0] - self.fvec
+            return (self.K.T @ mass_mv(v))[:, None]
+
+        self._f_fn = jax.jit(f_fn)
+        self._df_fn = jax.jit(df_fn)
+
+    def eval_f_impl(self, x, cache: bool):
+        return self._f_fn(x), None
+
+    def eval_df_impl(self):
+        return self._df_fn(self.x)

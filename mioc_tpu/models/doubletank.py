@@ -1,0 +1,49 @@
+"""Double-tank multimode problem (mintoc.de).
+
+Re-design of ``/root/reference/julia_opt/example_doubletank.jl``: sqrt outflow
+dynamics (state must stay nonnegative), SOS1 inflow modes, tracking objective
+``k1 (y2 − k2)²``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..objectives.ode import ODEObjective
+from ..ops.levels import bounded_sum_levels
+
+__all__ = ["DTMObj"]
+
+
+class DTMObj(ODEObjective):
+    def __init__(self, nt: int = 1000, *, k1=2.0, k2=3.0, c=(1.0, 0.5, 2.0),
+                 state0=(2.0, 2.0), dtype=None):
+        self.k1, self.k2 = float(k1), float(k2)
+        self.c = jnp.asarray(c, dtype=dtype)
+        V = [[0, 1], [0, 1], [0, 1]]
+        adm = bounded_sum_levels(V, 1, 1)
+        super().__init__(
+            T0=0.0, T1=10.0, nt=nt, state0=state0, V=V, admissible=adm, dtype=dtype
+        )
+
+    # Dynamics (example_doubletank.jl:48-67).
+    def F(self, y, u, i):
+        s1 = jnp.sqrt(y[0])
+        return jnp.stack([self.c @ u - s1, s1 - jnp.sqrt(y[1])])
+
+    def Fy(self, y, u, i):
+        i1 = -1.0 / (2.0 * jnp.sqrt(y[0]))
+        return jnp.array([[i1, 0.0], [-i1, -1.0 / (2.0 * jnp.sqrt(y[1]))]])
+
+    def Fu(self, y, u, i):
+        return jnp.stack([self.c, jnp.zeros_like(self.c)])
+
+    # Objective (example_doubletank.jl:70-82).
+    def G(self, y, u, i):
+        return self.k1 * (y[1] - self.k2) ** 2
+
+    def Gy(self, y, u, i):
+        return jnp.array([0.0, 2.0 * self.k1 * (y[1] - self.k2)])
+
+    def Gu(self, y, u, i):
+        return jnp.zeros_like(u)

@@ -1,0 +1,150 @@
+"""ODE-constrained objectives: forward-Euler state sweep + discrete adjoint.
+
+Re-design of ``/root/reference/julia_opt/ODEObjective.jl``.  The problem is
+
+    min  ∫_{T0}^{T1} G(y, u) dt      s.t.  y' = F(y, u),  y(T0) = state0
+
+discretized by explicit Euler on an equidistant grid with trapezoidal
+objective quadrature.  Both sweeps are ``lax.scan``s — sequential in time but
+fused on-device; the gradient is the reference's *discrete adjoint* recursion
+(``ODEObjective.jl:153-184``), reproduced index-for-index so that objective
+and gradient match the Julia solver to rounding error:
+
+  forward (``eval_f_helper``, :125-150), 0-based time-major indices::
+
+      y_{k+1} = y_k + τ F(y_k, u_k)                       k = 0 … nt-1
+      f = τ·( ½ G(y_0,u_0) + Σ_{k=1}^{nt-1} G(y_k,u_k) + ½ G(y_nt,u_{nt-1}) )
+
+  adjoint (``eval_df_helper``, :153-184)::
+
+      λ_{nt-1} = −½ τ G_y(y_nt, u_{nt-1})                       (:165-166)
+      λ_k = λ_{k+1} + τ( F_y(y_{k+1},u_{k+1})ᵀ λ_{k+1} − G_y(y_{k+1},u_{k+1}) )
+      df_k = −F_u(y_k, u_k)ᵀ λ_k + G_u(y_k, u_k)                (:177-183)
+
+Users implement ``F(y, u, i)`` and ``G(y, u, i)`` only; the Jacobians
+``Fy/Fu/Gy/Gu`` default to ``jax.jacfwd``/``jax.grad`` of those (the reference
+requires hand-written Jacobians, ``ODEObjective.jl:243-248``; hand-written
+overrides remain supported for parity testing and speed).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .base import LazyObjective
+
+__all__ = ["ODEObjective"]
+
+
+class ODEObjective(LazyObjective):
+    """Abstract ODE objective.  Subclasses set dimensions and implement
+    ``F(self, y, u, i)`` (rhs, shape ``(ny,)``) and ``G(self, y, u, i)``
+    (running cost, scalar); optionally ``Fy``, ``Fu``, ``Gy``, ``Gu``.
+    """
+
+    def __init__(self, *, T0, T1, nt, state0, nu=0, V=None, admissible=None,
+                 dtype=None):
+        super().__init__()
+        self.T0 = float(T0)
+        self.T1 = float(T1)
+        self.nt = int(nt)
+        self.tau = (self.T1 - self.T0) / self.nt
+        self.V = V
+        self.admissible = admissible
+        self.nu = int(nu)
+        self.nv = len(V) if V is not None else 0
+        self.dtype = dtype or jnp.result_type(float)
+        self.state0 = jnp.asarray(state0, dtype=self.dtype)
+        self.ny = self.state0.shape[0]
+        self.x = jnp.zeros((self.nt, self.nx), dtype=self.dtype)
+        self.state = None    # (nt, ny): y_1 … y_nt  (reference obj.state)
+        self.adjoint = None  # (nt, ny): λ_1 … λ_nt  (reference obj.adjoint)
+        self._build()
+
+    # -- user dynamics ---------------------------------------------------------
+    def F(self, y, u, i):
+        raise NotImplementedError
+
+    def G(self, y, u, i):
+        raise NotImplementedError
+
+    # Default Jacobians via autodiff; override for hand-written versions.
+    def Fy(self, y, u, i):
+        return jax.jacfwd(lambda yy: self.F(yy, u, i))(y)
+
+    def Fu(self, y, u, i):
+        return jax.jacfwd(lambda uu: self.F(y, uu, i))(u)
+
+    def Gy(self, y, u, i):
+        return jax.grad(lambda yy: self.G(yy, u, i))(y)
+
+    def Gu(self, y, u, i):
+        return jax.grad(lambda uu: self.G(y, uu, i))(u)
+
+    # -- compiled sweeps -------------------------------------------------------
+    def _build(self):
+        tau, nt = self.tau, self.nt
+
+        def forward(x):
+            def step(y, xs):
+                u, i = xs
+                ynew = y + tau * self.F(y, u, i)
+                return ynew, ynew
+
+            idx = jnp.arange(nt)
+            _, ys = lax.scan(step, self.state0, (x, idx))  # ys[k] = y_{k+1}
+
+            ys_all = jnp.concatenate([self.state0[None], ys])  # y_0 … y_nt
+            # G-argument indices per the reference (time idx i, control col):
+            #   k=0: G(0, y_0, u_0); 1≤k≤nt-1: G(k, y_k, u_k);
+            #   k=nt: G(nt-1, y_nt, u_{nt-1}).
+            u_idx = jnp.minimum(jnp.arange(nt + 1), nt - 1)
+            g_t_idx = jnp.concatenate([jnp.arange(nt), jnp.array([nt - 1])])
+            gvals = jax.vmap(lambda y, ui, ti: self.G(y, x[ui], ti))(
+                ys_all, u_idx, g_t_idx
+            )
+            w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
+            fval = tau * jnp.sum(w * gvals)
+            return fval, ys
+
+        def adjoint(x, ys):
+            # Terminal condition (ODEObjective.jl:165-166).
+            lamT = -0.5 * tau * self.Gy(ys[-1], x[-1], nt)
+
+            def bstep(lam, xs):
+                y, u, i = xs
+                newlam = lam + tau * (self.Fy(y, u, i).T @ lam - self.Gy(y, u, i))
+                return newlam, newlam
+
+            # k = nt-2 … 0 uses (y_{k+1}, u_{k+1}) = (ys[k], x[k+1]).
+            xs = (ys[:-1][::-1], x[1:][::-1], jnp.arange(1, nt)[::-1])
+            _, lams_rev = lax.scan(bstep, lamT, xs)
+            lam = jnp.concatenate([lams_rev[::-1], lamT[None]])  # λ_0-based k
+
+            ys0 = jnp.concatenate([self.state0[None], ys[:-1]])  # y_0 … y_{nt-1}
+
+            def dfk(y, u, l, i):
+                return -self.Fu(y, u, i).T @ l + self.Gu(y, u, i)
+
+            df = jax.vmap(dfk)(ys0, x, lam, jnp.arange(nt))
+            return df, lam
+
+        self._forward = jax.jit(forward)
+        self._adjoint = jax.jit(adjoint)
+
+    # -- protocol hooks --------------------------------------------------------
+    def eval_f_impl(self, x, cache: bool):
+        fval, ys = self._forward(x)
+        return fval, ys
+
+    def eval_f_(self):
+        f = super().eval_f_()
+        self.state = self._aux
+        return f
+
+    def eval_df_impl(self):
+        df, lam = self._adjoint(self.x, self._aux)
+        self.adjoint = lam
+        return df

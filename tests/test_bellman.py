@@ -1,0 +1,123 @@
+"""DP-vs-brute-force: the strongest unit test of the Bellman kernel.
+
+Enumerate every admissible path for tiny instances and check the DP returns a
+path of exactly minimal cost within the L¹ trust-region budget (SURVEY.md §4
+calls this out as absent from the reference).
+"""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mioc_tpu.ops import (
+    backtrack,
+    bounded_sum_levels,
+    dp_solve,
+    jump_cost_table,
+    product_levels,
+    stage_tables,
+)
+
+
+def brute_force(stage, btilde, jump, B):
+    """Min path cost over all level sequences with total budget ≤ B."""
+    nt, L = stage.shape
+    best = np.inf
+    best_path = None
+    for path in itertools.product(range(L), repeat=nt):
+        b = sum(btilde[i, path[i]] for i in range(nt))
+        if b > B:
+            continue
+        c = sum(stage[i, path[i]] for i in range(nt))
+        c += sum(jump[path[i], path[i + 1]] for i in range(nt - 1))
+        if c < best - 1e-15:
+            best = c
+            best_path = path
+    return best, best_path
+
+
+def path_cost(stage, btilde, jump, idx):
+    nt = stage.shape[0]
+    c = sum(stage[i, idx[i]] for i in range(nt))
+    c += sum(jump[idx[i], idx[i + 1]] for i in range(nt - 1))
+    b = sum(btilde[i, idx[i]] for i in range(nt))
+    return c, b
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("p", [1, 2, np.inf])
+def test_dp_matches_brute_force_sos1(seed, p):
+    rng = np.random.default_rng(seed)
+    s = bounded_sum_levels([[0, 1], [0, 1], [0, 1]], 1, 1)
+    nt, B, tau, beta = 6, 4, 0.1, 0.37
+    grad = jnp.asarray(rng.normal(size=(nt, s.M)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, s.L, size=nt)])
+    jump = jump_cost_table(s.levels, p=p, beta=beta)
+
+    u, idx, tables = dp_solve(grad, u_old, s.levels, jnp.asarray(jump), tau, B)
+    stage, btilde = stage_tables(grad, u_old, jnp.asarray(s.levels), tau)
+    stage, btilde = np.asarray(stage), np.asarray(btilde)
+
+    ref_cost, _ = brute_force(stage, btilde, jump, B)
+    got_cost, got_budget = path_cost(stage, btilde, jump, np.asarray(idx))
+    assert got_budget <= B
+    np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(u), s.levels[np.asarray(idx)])
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_dp_matches_brute_force_multilevel(seed):
+    rng = np.random.default_rng(seed)
+    s = product_levels([[-2, -1, 0, 1, 2]])
+    nt, B, tau, beta = 5, 6, 0.05, 0.11
+    grad = jnp.asarray(rng.normal(size=(nt, s.M)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, s.L, size=nt)])
+    jump = jump_cost_table(s.levels, p=1, beta=beta)
+
+    u, idx, _ = dp_solve(grad, u_old, s.levels, jnp.asarray(jump), tau, B)
+    stage, btilde = stage_tables(grad, u_old, jnp.asarray(s.levels), tau)
+    stage, btilde = np.asarray(stage), np.asarray(btilde)
+
+    ref_cost, _ = brute_force(stage, btilde, jump, B)
+    got_cost, got_budget = path_cost(stage, btilde, jump, np.asarray(idx))
+    assert got_budget <= B
+    np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-12)
+
+
+def test_budget_halving_reuses_tables():
+    """A smaller budget re-extracted from the SAME tables must equal a fresh
+    DP built with that smaller budget (multi-trust.jl:108-110 reuse)."""
+    rng = np.random.default_rng(7)
+    s = bounded_sum_levels([[0, 1], [0, 1], [0, 1]], 1, 1)
+    nt, B, tau = 8, 6, 0.1
+    grad = jnp.asarray(rng.normal(size=(nt, s.M)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, s.L, size=nt)])
+    jump = jnp.asarray(jump_cost_table(s.levels, p=2, beta=0.2))
+
+    _, _, (U, phi0, btilde) = dp_solve(grad, u_old, s.levels, jump, tau, B)
+    stage, _ = stage_tables(grad, u_old, jnp.asarray(s.levels), tau)
+
+    for B_new in [4, 2, 1, 0]:
+        u_halved, idx_halved = backtrack(U, phi0, btilde, s.levels, jnp.int32(B_new))
+        ref_cost, _ = brute_force(
+            np.asarray(stage), np.asarray(btilde), np.asarray(jump), B_new
+        )
+        got_cost, got_budget = path_cost(
+            np.asarray(stage), np.asarray(btilde), np.asarray(jump), np.asarray(idx_halved)
+        )
+        assert got_budget <= B_new
+        np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-12)
+
+
+def test_zero_budget_returns_u_old():
+    """B = 0 forces u = u_old exactly."""
+    rng = np.random.default_rng(3)
+    s = bounded_sum_levels([[0, 1], [0, 1], [0, 1]], 1, 1)
+    nt, tau = 10, 0.1
+    grad = jnp.asarray(rng.normal(size=(nt, s.M)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, s.L, size=nt)])
+    jump = jnp.asarray(jump_cost_table(s.levels, p=1, beta=0.5))
+    u, _, _ = dp_solve(grad, u_old, s.levels, jump, tau, 0)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u_old))
