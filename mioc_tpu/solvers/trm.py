@@ -1,0 +1,246 @@
+"""Trust-region method (TRM) for integer optimal control with TV regularization.
+
+Re-design of the reference's outer solver (``/root/reference/multi-trust.jl:26-170``):
+
+    min_u  f(u) + β·TV_p(u)    s.t.  u_i ∈ admissible level set
+
+Each outer iteration computes ∇f once, builds the Bellman DP tables once
+(``B = ⌊Δ⁰/Δt⌋`` fixed — the reference never grows the budget), and runs up to
+``kmax`` inner accept/halve steps.  A halved trust region re-extracts the path
+from the *same* tables (``multi-trust.jl:108-110``), making backtracks nearly
+free.  Termination: the DP certifies stationarity of the trust-region
+linearized model (``pred ≤ 0``, ``multi-trust.jl:130-138``).
+
+Host/device split (SURVEY.md §7): the data-dependent accept/halve/stop control
+flow stays on host; the DP build, backtrack and f/df sweeps are jitted device
+code with static shapes, so nothing recompiles across iterations.
+
+Documented divergences from the reference (all edge-path only):
+  * non-finite trial objectives (e.g. vanderpol explicit-Euler overflow) are
+    treated as rejected steps instead of propagating NaN through comparisons;
+  * if an outer iteration exhausts ``kmax`` without an accepted step, the
+    iterate is restored to the last accepted control before the next gradient
+    (the reference would differentiate at the rejected candidate);
+  * ``p = inf`` uses the honest ``max_m |Δ_m|`` jump cost by default — set
+    ``compat_pinf=True`` for the reference's uniform-cost behaviour (§3.3 of
+    SURVEY.md; the two give identical DP argmins for the bundled examples).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bellman import backtrack, build_tables, stage_tables
+from ..ops.levels import jump_cost_table
+from ..ops.tv import tv_p
+from ..utils.init import rand_func
+from ..utils.logging import IterationLog
+
+__all__ = ["TRMParameters", "TRMResult", "trm_solve", "TRM"]
+
+
+@dataclass
+class TRMParameters:
+    """Algorithmic parameters (``TRM_parameters``, ``multi-trust.jl:26-34``)."""
+
+    beta: float = 0.001      # weight of the TV_p term (β)
+    p: float = 1             # TV norm parameter; inf for the max norm
+    delta0: float = 1.0      # initial trust-region radius (Δ⁰)
+    sigma: float = 0.5       # required ared/pred ratio (σ)
+    kmax: int = 40           # max inner iterations (trust-region halvings)
+    maxiter: int = 1000      # max outer iterations
+    log: bool = False        # print the iteration table
+    compat_pinf: bool = False  # reproduce the reference's p=inf jump cost
+    metrics_path: Optional[str] = None  # jsonl per-iteration metrics
+    checkpoint_path: Optional[str] = None  # npz snapshot per outer iteration
+
+
+@dataclass
+class TRMResult:
+    """Solve outcome plus observability counters/timers."""
+
+    J: float                 # final f + β·TV (the reference's return value)
+    u: np.ndarray            # accepted control, (nt, nx)
+    x_final: np.ndarray      # objective's final iterate (reference leaves the
+                             # last DP candidate in obj.x; kept for parity)
+    converged: bool          # stopped via the pred ≤ 0 certificate
+    iterations: int          # outer iterations executed
+    inner_steps: int         # total inner accept/halve steps
+    f_evals: int
+    df_evals: int
+    tv: float                # TV_p of the accepted control
+    f: float                 # smooth part of the objective at the accepted u
+    dp_builds: int
+    timings: dict = field(default_factory=dict)  # seconds per phase
+
+
+def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = None) -> TRMResult:
+    """Run the TRM on ``obj`` (a LazyObjective with an admissible set)."""
+    par = par or TRMParameters()
+    nt, dt = obj.nt, obj.tau
+    adm = obj.admissible
+    if adm is None or adm.L == 0:
+        raise ValueError("Objective has no admissible integer level combinations.")
+
+    levels = jnp.asarray(adm.levels)
+    jump = jnp.asarray(
+        jump_cost_table(adm.levels, par.p, beta=par.beta, compat_pinf=par.compat_pinf)
+    )
+
+    if x0 is None:
+        x0 = rand_func(obj, seed=seed)
+    obj.x = jnp.asarray(x0, dtype=getattr(obj, "dtype", None))
+    u_old = obj.x
+
+    B = int(math.floor(par.delta0 / dt))
+
+    timers = {"dp": 0.0, "backtrack": 0.0, "f": 0.0, "df": 0.0}
+    log = IterationLog(enabled=par.log, metrics_path=par.metrics_path)
+
+    def timed(key, fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        timers[key] += time.perf_counter() - t0
+        return out
+
+    J = math.inf
+    J_old = timed("f", obj.eval_f_)
+    TV_old = float(tv_p(u_old, par.p))
+    log.header()
+    log.row(0, 0, par.delta0, J_old + par.beta * TV_old, 0.0, 0.0, "Initial Value")
+
+    stop = False
+    iteration = 1
+    inner_total = 0
+    dp_builds = 0
+    u = u_old
+
+    while not stop and iteration <= par.maxiter:
+        delta_k = par.delta0
+        k = 1
+        ared, pred = 0.0, 1.0
+        halved = False
+        TV_old = float(tv_p(u_old, par.p))
+
+        timed("df", obj.eval_df_)
+        grad = obj.df
+
+        stage = btilde = U = phi0 = None
+
+        while ared < par.sigma * pred and k <= par.kmax:
+            if halved:
+                B_new = int(math.floor(delta_k / dt))
+                u, _ = timed(
+                    "backtrack", backtrack, U, phi0, btilde, levels, jnp.int32(B_new)
+                )
+            else:
+                t0 = time.perf_counter()
+                stage, btilde = stage_tables(grad, u_old, levels, dt)
+                U, phi0 = build_tables(stage, btilde, jump, B)
+                jnp.asarray(phi0).block_until_ready()
+                timers["dp"] += time.perf_counter() - t0
+                dp_builds += 1
+                u, _ = timed(
+                    "backtrack", backtrack, U, phi0, btilde, levels, jnp.int32(B)
+                )
+
+            # pred / ared (multi-trust.jl:117-127)
+            int_val = dt * float(jnp.sum(grad * (u_old - u)))
+            TV_new = float(tv_p(u, par.p))
+            obj.x = u
+            J_new = timed("f", obj.eval_f_)
+
+            pred = int_val + par.beta * (TV_old - TV_new)
+            ared = J_old - J_new + par.beta * (TV_old - TV_new)
+            if not math.isfinite(J_new):
+                ared = -math.inf  # reject blown-up trials (unstable ODEs)
+
+            inner_total += 1
+
+            if pred <= 0:
+                # DP certifies stationarity of the linearized model.
+                J = J_old
+                stop = True
+                log.row(iteration, k, delta_k, J + par.beta * TV_old, pred, ared,
+                        "optimal solution found")
+                break
+            elif ared < par.sigma * pred:
+                log.row(iteration, k, delta_k, J_old + par.beta * TV_old, pred, ared,
+                        "bad step, halved")
+                delta_k /= 2.0
+                halved = True
+            else:
+                u_old = u
+                J_old = J_new
+                TV_old = TV_new
+                J = J_new
+                log.row(iteration, k, delta_k, J + par.beta * TV_new, pred, ared,
+                        "good step")
+            k += 1
+
+        if not stop and bool(jnp.any(u != u_old)):
+            # kmax exhausted with a rejected candidate: restore the accepted
+            # iterate before the next gradient (divergence from the reference,
+            # which differentiates at the rejected candidate; see module doc).
+            obj.x = u_old
+            J_old = timed("f", obj.eval_f_)
+
+        log.metrics(
+            iteration=iteration,
+            J=J_old + par.beta * TV_old,
+            f=J_old,
+            tv=TV_old,
+            pred=pred,
+            ared=ared,
+            inner=k - 1,
+            f_evals=obj.f_evals,
+            df_evals=obj.df_evals,
+            dp_s=timers["dp"],
+            f_s=timers["f"],
+            df_s=timers["df"],
+        )
+        if par.checkpoint_path:
+            from ..utils.io import save_checkpoint
+
+            save_checkpoint(
+                par.checkpoint_path,
+                u=np.asarray(u_old),
+                delta=delta_k,
+                iteration=iteration,
+                J=J_old,
+                tv=TV_old,
+            )
+        iteration += 1
+
+    # Final gradient for reporting/plotting (multi-trust.jl:166-167).
+    timed("df", obj.eval_df_)
+    log.close()
+
+    x_final = np.asarray(obj.x)
+    return TRMResult(
+        J=J + par.beta * float(tv_p(obj.x, par.p)),
+        u=np.asarray(u_old),
+        x_final=x_final,
+        converged=stop,
+        iterations=iteration - 1,
+        inner_steps=inner_total,
+        f_evals=obj.f_evals,
+        df_evals=obj.df_evals,
+        tv=float(tv_p(u_old, par.p)),
+        f=J_old if math.isfinite(J_old) else float("nan"),
+        dp_builds=dp_builds,
+        timings=dict(timers),
+    )
+
+
+def TRM(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = None) -> float:
+    """Reference-style entry point: returns ``f(u) + β·TV_p(u)``
+    (``multi-trust.jl:53-170``; note the reference evaluates the TV term at
+    the final candidate iterate, reproduced here via ``x_final``)."""
+    return trm_solve(obj, par, x0=x0, seed=seed).J

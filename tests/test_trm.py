@@ -1,0 +1,102 @@
+"""End-to-end TRM solves: golden-value parity, determinism, certificates."""
+
+import numpy as np
+import pytest
+
+from mioc_tpu.models import ConvObj, DTMObj, LVMObj
+from mioc_tpu.solvers.trm import TRM, TRMParameters, trm_solve
+
+GOLDEN_FISHING = 0.9398946251530471  # README.md:45-50 of the reference
+
+
+def test_fishing_golden_parity():
+    """Default-parameter fishing solve lands at (or below) the reference's
+    published objective.  The problem has several nearby stationary points;
+    random starts reach J in [0.938, 0.9400] — parity within optimality gap
+    (BASELINE.md north star)."""
+    res = trm_solve(LVMObj(), TRMParameters(), seed=0)
+    assert res.converged
+    assert res.J <= GOLDEN_FISHING + 2e-4
+    assert res.J >= 0.93
+
+
+def test_fishing_deterministic_given_x0():
+    obj1, obj2 = LVMObj(nt=300), LVMObj(nt=300)
+    from mioc_tpu.utils.init import rand_func
+
+    x0 = rand_func(obj1, seed=42)
+    r1 = trm_solve(obj1, TRMParameters(), x0=x0)
+    r2 = trm_solve(obj2, TRMParameters(), x0=x0)
+    assert r1.J == r2.J
+    np.testing.assert_array_equal(r1.u, r2.u)
+
+
+def test_fishing_pinf_compat_matches_honest():
+    """For the SOS1 binary examples the reference's uniform p=inf jump cost and
+    the honest max-norm cost differ per stage by (β − the honest cost) — but
+    SURVEY.md §3.3: the uniform offset cancels in the argmin, so with the SAME
+    start both reach valid stationary points of their respective subproblems.
+    Smoke-check both modes converge."""
+    obj_h = LVMObj(nt=200)
+    obj_c = LVMObj(nt=200)
+    from mioc_tpu.utils.init import rand_func
+
+    x0 = rand_func(obj_h, seed=3)
+    rh = trm_solve(obj_h, TRMParameters(beta=1e-4, delta0=2.0, p=np.inf), x0=x0)
+    rc = trm_solve(
+        obj_c, TRMParameters(beta=1e-4, delta0=2.0, p=np.inf, compat_pinf=True), x0=x0
+    )
+    assert rh.converged and rc.converged
+
+
+def test_convolution_solve():
+    res = trm_solve(
+        ConvObj(nt=256),
+        TRMParameters(beta=1e-4, delta0=0.125, p=1),
+        seed=0,
+    )
+    assert res.converged
+    # Coarse grid + small trust radius: J ≈ 0.032 at nt=256 (0.005 at nt=2048).
+    assert res.J < 0.05
+
+
+def test_doubletank_solve_smoke():
+    res = trm_solve(
+        DTMObj(nt=200), TRMParameters(beta=1e-5, delta0=2.0, p=np.inf), seed=0
+    )
+    assert res.converged
+    assert np.isfinite(res.J)
+
+
+def test_trm_reference_float_api():
+    J = TRM(LVMObj(nt=200), TRMParameters(), seed=0)
+    assert isinstance(J, float) and 0.9 < J < 1.5
+
+
+def test_trm_rejects_objective_without_levels():
+    obj = ConvObj(nt=32)
+    obj.admissible = None
+    with pytest.raises(ValueError):
+        trm_solve(obj, TRMParameters())
+
+
+def test_checkpoint_written(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+    res = trm_solve(
+        LVMObj(nt=100), TRMParameters(checkpoint_path=path), seed=0
+    )
+    from mioc_tpu.utils.io import load_checkpoint
+
+    ck = load_checkpoint(path)
+    assert ck["u"].shape == (100, 3)
+    assert int(ck["iteration"]) <= res.iterations
+
+
+def test_metrics_jsonl(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    trm_solve(LVMObj(nt=100), TRMParameters(metrics_path=path), seed=0)
+    import json
+
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) >= 1
+    assert {"iteration", "J", "f_evals", "dp_s"} <= set(lines[0])
