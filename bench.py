@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: Bellman DP subproblem throughput on the accelerator.
+
+North-star metric (BASELINE.md): DP relaxations/second for the convolution
+stress configuration (nt=2048, L=5, B=128 → ≈6.6M relaxations per build),
+compared against a single-core CPU implementation of the reference's nested
+loops (stand-in for single-core Julia; no Julia in this image).
+
+Prints ONE JSON line:
+  {"metric": "dp_relaxations_per_s", "value": N, "unit": "relax/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Convolution stress config (BASELINE.md): nt=2048, L=5, M=1, B=128.
+NT, L, M, B = 2048, 5, 1, 128
+RELAXATIONS = NT * L * L * B  # ≈ 6.6e6
+
+
+def cpp_baseline_seconds():
+    """Build (once) and run the single-core reference-loop baseline."""
+    src = os.path.join(REPO, "mioc_tpu", "native", "bellman_baseline.cpp")
+    exe = os.path.join(REPO, "mioc_tpu", "native", "bellman_baseline")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-o", exe, src],
+            check=True,
+        )
+    out = subprocess.run(
+        [exe, str(NT), str(L), str(M), str(B), "3"],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return float(out.stdout.strip())
+
+
+def jax_dp_seconds():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mioc_tpu.ops.bellman import (
+        backtrack,
+        build_tables,
+        max_budget_use,
+        stage_tables,
+    )
+    from mioc_tpu.ops.levels import jump_cost_table, product_levels
+
+    adm = product_levels([[-2, -1, 0, 1, 2]])
+    jump = jnp.asarray(jump_cost_table(adm.levels, p=1, beta=1e-4), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    grad = jnp.asarray(rng.normal(size=(NT, M)), dtype=jnp.float32)
+    u_old = jnp.asarray(adm.levels[rng.integers(0, adm.L, size=NT)], dtype=jnp.float32)
+    levels = jnp.asarray(adm.levels, dtype=jnp.float32)
+    tau = 2.0 / NT
+
+    smax = max_budget_use(adm.levels)
+
+    def dp(grad, u_old):
+        stage, btilde = stage_tables(grad, u_old, levels, tau)
+        U, phi0 = build_tables(stage, btilde, jump, B, smax)
+        u, idx = backtrack(U, phi0, btilde, levels, jnp.int32(B))
+        return u, phi0
+
+    dp_jit = jax.jit(dp)
+    u, phi0 = dp_jit(grad, u_old)  # compile + warm up
+    u.block_until_ready()
+
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        u, phi0 = dp_jit(grad, u_old)
+        u.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    cpp_s = cpp_baseline_seconds()
+    dev_s = jax_dp_seconds()
+    value = RELAXATIONS / dev_s
+    baseline = RELAXATIONS / cpp_s
+    print(
+        json.dumps(
+            {
+                "metric": "dp_relaxations_per_s",
+                "value": round(value),
+                "unit": "relax/s",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

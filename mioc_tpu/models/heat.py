@@ -1,0 +1,125 @@
+"""Heat-distribution problem: PDE-constrained vector integer control.
+
+Re-design of ``/root/reference/julia_opt/example_heat.jl`` (Section 6.2 of
+arXiv:2411.06856):
+
+    ∂_t y − αΔy = f₁(x)u₁(t) + f₂(x)u₂(t)   on Ω×[0,10],  Ω = [−1,1]²
+    ∂y/∂n + κ y = κ·T_out                    on Γ
+    y(0) = temp0
+
+with two Gaussian heat sources, target temperature ``tempT``, tracking cost
+``½(y−y_d)ᵀM(y−y_d)`` plus linear heating cost ``γ Σ u``, and the product
+control set ``{0..5}²`` (36 combinations — the DP stress case for L).
+
+The FEM pipeline runs at construction: squareg mesh refined 3×, P2 Lagrange,
+stiffness+Robin / mass / load assembly, then dense sweep operators
+(``construct_mesh`` and ``assemble_*``, example_heat.jl:104-132, 226-283).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse.linalg as spla
+
+from ..fem import (
+    FE_Lagrange,
+    area_integrator,
+    bdry_integrator,
+    mesh_library,
+    ndofs,
+    quadrature_unit_triangle_area,
+    refine_all_cells,
+)
+from ..objectives.pde import PDEObjective
+from ..ops.levels import product_levels
+
+__all__ = ["HeatObj"]
+
+
+def construct_mesh(hmax=1.0, refinements=3):
+    mesh = mesh_library("squareg", hmax)
+    for _ in range(refinements):
+        mesh = refine_all_cells(mesh)
+    return mesh
+
+
+class HeatObj(PDEObjective):
+    def __init__(
+        self,
+        nt: int = 500,
+        *,
+        mesh=None,
+        fe=None,
+        quad_order_a: int = 3,
+        quad_order_b: int = 1,
+        alpha=1.0,
+        c1=(10.0, 10.0),
+        c2=(20.0, 20.0),
+        kappa=0.12,
+        Tout=0.0,
+        temp0=10.0,
+        tempT=20.0,
+        gamma=10.0,
+        x1=(-1.0, 0.0),
+        x2=(1.0, 0.0),
+        dtype=None,
+    ):
+        V = [[0, 1, 2, 3, 4, 5], [0, 1, 2, 3, 4, 5]]
+        adm = product_levels(V)  # no restriction (example_heat.jl:44)
+        super().__init__(T0=0.0, T1=10.0, nt=nt, V=V, admissible=adm, dtype=dtype)
+
+        self.mesh = mesh if mesh is not None else construct_mesh()
+        self.fe = fe if fe is not None else FE_Lagrange(2)
+        self.gamma = float(gamma)
+        self.kappa, self.Tout = float(kappa), float(Tout)
+        self.temp0, self.tempT = float(temp0), float(tempT)
+
+        quad = quadrature_unit_triangle_area(quad_order_a)
+        N = ndofs(self.fe, self.mesh)
+
+        # Coefficients (example_heat.jl:70-79).
+        h_A = lambda x: alpha * np.eye(2)
+        h_alpha = self.kappa
+        h_g = self.kappa * self.Tout
+        x1 = np.asarray(x1)[:, None]
+        x2 = np.asarray(x2)[:, None]
+        rhs_fns = [
+            lambda x: c2[0] * np.exp(-c1[0] * ((x - x1) ** 2).sum(axis=0)),
+            lambda x: c2[1] * np.exp(-c1[1] * ((x - x2) ** 2).sum(axis=0)),
+        ]
+
+        # Assembly (assemble_stiffness/mass/rhs/state0, example_heat.jl:228-283).
+        A0, _ = area_integrator(self.mesh, self.fe, quad, h_A, None, None, None)
+        Q, Gb = bdry_integrator(self.mesh, self.fe, quad_order_b, h_alpha, None)
+        A = A0 + Q
+        M, _ = area_integrator(self.mesh, self.fe, quad, None, None, 1.0, None)
+        _, Gg = bdry_integrator(self.mesh, self.fe, quad_order_b, None, h_g)
+        F = np.empty((N, self.nx))
+        for i in range(self.nx):
+            _, Fi = area_integrator(self.mesh, self.fe, quad, None, None, None, rhs_fns[i])
+            F[:, i] = Fi + Gg
+        _, Y0 = area_integrator(
+            self.mesh, self.fe, quad, None, None, None, lambda x: np.full(x.shape[1], temp0)
+        )
+        state0 = spla.spsolve(M.tocsc(), Y0)
+
+        # Target temperature distribution (assemble_yd, example_heat.jl:130-132).
+        self.yd = jnp.full((N,), self.tempT, dtype=self.dtype)
+        self._Mj = jnp.asarray(M.toarray(), dtype=self.dtype)
+
+        self.setup_operators(M, A, F, state0)
+
+    # Costs (example_heat.jl:135-161).
+    def G(self, y, u, i):
+        v = y - self.yd
+        return 0.5 * v @ (self._Mj @ v)
+
+    def G_t(self, u, i):
+        return self.gamma * jnp.sum(u)
+
+    def Gy(self, y, u, i):
+        return self._Mj @ (y - self.yd)
+
+    def Gu(self, u, i):
+        return self.gamma * jnp.ones(self.nx, self.dtype)

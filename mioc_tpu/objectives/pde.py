@@ -1,0 +1,183 @@
+"""Parabolic PDE-constrained objectives: implicit Euler + discrete adjoint.
+
+Re-design of ``/root/reference/julia_opt/PDEObjective.jl``.  The problem is
+
+    min  ∫∫_Ω G(u, y) dA dt + ∫ G_t(u) dt
+    s.t. ∂y/∂t + 𝒜 y = Σ_i f_i(x) u_i(t),   y(T0) = state0,  Robin boundary
+
+semidiscretized by FEM into ``M ẏ + A y = F u`` and stepped by implicit
+Euler.  The reference precomputes a sparse LU of ``S = I + τ M⁻¹A`` and
+back-substitutes per step (``PDEObjective.jl:129-139``); the TPU-native form
+precomputes the DENSE inverse ``S⁻¹`` once at model build (the reference
+already densifies ``M⁻¹A``, ``example_heat.jl:254-262``; dofs are O(10³)) so
+both sweeps become ``lax.scan``s of dense (N, N)·(N,) matmuls — MXU work:
+
+  state  (``impleuler_state!``):   y_k = S⁻¹ (y_{k−1} + τ (M⁻¹F) u_{k−1})
+  adjoint:                          λ_j = S⁻ᵀ (λ_{j+1} + τ w_{j+1} G_y(y_{j+1})),
+                                    λ_nt = 0,  w = trapezoid weights
+  gradient:                         df_j = (M⁻¹F)ᵀ λ_j + c_j G_u(u_j),
+                                    c_0 = ½, else 1
+
+Divergences from the reference (documented; SURVEY.md §3.4 "quirks"):
+  1. The reference's adjoint uses ``G_y(y_j)`` where the EXACT gradient of its
+     own discretization needs ``w_{j+1}·G_y(y_{j+1})`` (``PDEObjective.jl:167-169``
+     evaluates ``Gy!(…, i)`` on ``state[:, i] = y_{i−1}`` and drops the
+     trapezoid weight) — an O(τ) gradient error.  We implement the exact
+     discrete adjoint, which makes FD-vs-adjoint checks converge.
+  2. The reference skips the ``G_u`` term on the first gradient column
+     (``PDEObjective.jl:192-197``); the exact coefficient is ½ there.  Set
+     ``compat_skip_first_gu=True`` to reproduce the reference.
+
+Objective quadrature (``eval_f_helper``, :142-156)::
+
+    f = τ·( ½ g_0 + Σ_{k=1}^{nt-1} g_k + ½ g_nt ),
+    g_k = G(y_k, u_{min(k, nt-1)}) + G_t(u_{min(k, nt-1)})
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .base import LazyObjective
+
+__all__ = ["PDEObjective"]
+
+
+class PDEObjective(LazyObjective):
+    """Abstract parabolic PDE objective.
+
+    Subclasses must, before calling ``super().__init__``-style ``setup``,
+    assemble (host-side, numpy/scipy):
+      ``M`` (mass), ``A`` (stiffness + Robin), ``F`` (N, nx) load columns,
+      ``state0`` (N,) — then call :meth:`setup_operators`.
+
+    And implement:
+      ``G(self, y, u, i)``   — area running cost (scalar),
+      ``G_t(self, u, i)``    — control running cost (scalar),
+      ``Gy(self, y, u, i)``  — ∂G/∂y (N,),
+      ``Gu(self, u, i)``     — ∂(G+G_t)/∂u (nx,).
+    """
+
+    compat_skip_first_gu: bool = False
+
+    def __init__(self, *, T0, T1, nt, nu=0, V=None, admissible=None, dtype=None):
+        super().__init__()
+        self.T0, self.T1, self.nt = float(T0), float(T1), int(nt)
+        self.tau = (self.T1 - self.T0) / self.nt
+        self.V = V
+        self.admissible = admissible
+        self.nu = int(nu)
+        self.nv = len(V) if V is not None else 0
+        self.dtype = dtype or jnp.result_type(float)
+        self.x = jnp.zeros((self.nt, self.nx), dtype=self.dtype)
+        self.state = None    # (nt+1, N): y_0 … y_nt
+        self.adjoint = None  # (nt+1, N): λ_0-based, λ[nt] = 0
+
+    # -- operator precompute ---------------------------------------------------
+    def setup_operators(self, M, A, F, state0):
+        """Precompute the dense sweep operators (example_heat.jl:111-115 and
+        calculate_M_inv*, :242-262) and compile the scans."""
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        N = F.shape[0]
+        self.Nglobal_dofs = N
+        Mc = sp.csc_matrix(M)
+        solve_M = spla.factorized(Mc)
+        A_d = A.toarray() if sp.issparse(A) else np.asarray(A)
+        M_invA = np.column_stack([solve_M(A_d[:, j]) for j in range(N)])
+        M_invF = np.column_stack(
+            [solve_M(np.asarray(F[:, j]).ravel()) for j in range(F.shape[1])]
+        )
+        S = np.eye(N) + self.tau * M_invA
+        Sinv = np.linalg.inv(S)
+
+        self.M = Mc
+        self.A = A
+        self.F = np.asarray(F)
+        self.state0 = jnp.asarray(state0, dtype=self.dtype)
+        self.M_invA = jnp.asarray(M_invA, dtype=self.dtype)
+        self.M_invF = jnp.asarray(M_invF, dtype=self.dtype)
+        self.Sinv = jnp.asarray(Sinv, dtype=self.dtype)
+        self._build()
+
+    # -- user cost hooks -------------------------------------------------------
+    def G(self, y, u, i):
+        raise NotImplementedError
+
+    def G_t(self, u, i):
+        raise NotImplementedError
+
+    def Gy(self, y, u, i):
+        return jax.grad(lambda yy: self.G(yy, u, i))(y)
+
+    def Gu(self, u, i):
+        return jax.grad(lambda uu: self.G_t(uu, i))(u)
+
+    # -- compiled sweeps -------------------------------------------------------
+    def _build(self):
+        tau, nt = self.tau, self.nt
+        Sinv, M_invF = self.Sinv, self.M_invF
+
+        def forward(x):
+            def step(y, u):
+                ynew = Sinv @ (y + tau * (M_invF @ u))
+                return ynew, ynew
+
+            _, ys = lax.scan(step, self.state0, x)  # ys[k-1] = y_k
+            ys_all = jnp.concatenate([self.state0[None], ys])  # (nt+1, N)
+
+            u_idx = jnp.minimum(jnp.arange(nt + 1), nt - 1)
+            gvals = jax.vmap(
+                lambda y, ui, ti: self.G(y, x[ui], ti) + self.G_t(x[ui], ti)
+            )(ys_all, u_idx, jnp.arange(nt + 1))
+            w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
+            return tau * jnp.sum(w * gvals), ys_all
+
+        def adjoint(x, ys_all):
+            SinvT = Sinv.T
+            lamT = jnp.zeros(self.Nglobal_dofs, self.dtype)
+
+            def bstep(lam, xs):
+                y_next, u_next, w_next, k = xs
+                newlam = SinvT @ (lam + tau * w_next * self.Gy(y_next, u_next, k))
+                return newlam, newlam
+
+            # Exact discrete adjoint: sweep j = nt-1 … 0 with the (j+1)-th
+            # state/control and trapezoid weight (see module docstring).
+            k_next = jnp.arange(1, nt + 1)
+            w_next = jnp.where(k_next == nt, 0.5, 1.0).astype(self.dtype)
+            u_next = x[jnp.minimum(k_next, nt - 1)]
+            xs = (ys_all[1:][::-1], u_next[::-1], w_next[::-1], k_next[::-1])
+            _, lams_rev = lax.scan(bstep, lamT, xs)
+            lam = lams_rev[::-1]  # (nt, N): λ_0-based columns 0 … nt-1
+
+            df = lam @ M_invF  # (nt, nx): (M⁻¹F)ᵀ λ_j rowwise
+            gu = jax.vmap(self.Gu)(x, jnp.arange(nt))
+            # G_t weight per control column: u_j appears in g_j (weight w_j)
+            # and u_{nt-1} additionally in g_nt (weight ½).
+            cj = jnp.ones((nt, 1), self.dtype).at[0, 0].set(0.5).at[-1, 0].set(1.5)
+            if self.compat_skip_first_gu:
+                cj = cj.at[0, 0].set(0.0)  # reference (PDEObjective.jl:192-197)
+            return df + cj * gu, lam
+
+        self._forward = jax.jit(forward)
+        self._adjoint = jax.jit(adjoint)
+
+    # -- protocol hooks --------------------------------------------------------
+    def eval_f_impl(self, x, cache: bool):
+        fval, ys_all = self._forward(x)
+        return fval, ys_all
+
+    def eval_f_(self):
+        f = super().eval_f_()
+        self.state = self._aux
+        return f
+
+    def eval_df_impl(self):
+        df, lam = self._adjoint(self.x, self._aux)
+        self.adjoint = lam
+        return df

@@ -1,0 +1,143 @@
+"""Pallas TPU kernel for the DP backtrack (path extraction).
+
+The XLA-scan backtrack (:func:`mioc_tpu.ops.bellman.backtrack`) performs one
+dynamic scalar gather per time step; on TPU each such step costs microseconds
+of dispatch, dwarfing the fused DP build.  This kernel runs the whole chase
+on-chip:
+
+  * seed: masked argmin over ``Φ_0`` in the reference's column-major order
+    (budget fastest, then combination — ``HelpFunctions.jl:106``), computed
+    with vector reductions;
+  * chase: ``l ← U[k, l, b]``, ``b ← b − b̃[k, l]`` with ``U`` planes
+    prefetched from HBM in double-buffered chunks of ``K`` time steps.
+
+``B_new`` stays a runtime scalar (SMEM), so trust-region halvings re-run this
+kernel on the same tables without recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["backtrack_pallas"]
+
+_INF = np.float32(np.inf)
+_BIG = np.int32(2**30)
+
+
+def _bt_kernel(
+    bnew_ref,     # (1, 1) i32, SMEM
+    phi0_ref,     # (Lp, Bp) f32, VMEM
+    btilde_ref,   # (nt, Lp) i32, VMEM
+    U_hbm_ref,    # (nsteps_pad, Lp, Bp) i32, HBM
+    idx_ref,      # out: (nt, 1) i32, SMEM
+    u_buf_ref,    # scratch: (2, K, Lp, Bp) i32
+    sem,          # DMA semaphores (2,)
+    *,
+    nt: int,
+    K: int,
+):
+    Lp, Bp = phi0_ref.shape
+    nsteps = nt - 1
+    nchunks = -(-nsteps // K)
+    b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
+    l_sub = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 0)
+
+    # Seed argmin, reference order: linear index l*Bp + b, b fastest within l.
+    masked = jnp.where(b_lane <= bnew_ref[0, 0], phi0_ref[:], _INF)
+    mval = jnp.min(masked)
+    lin = jnp.where(masked == mval, l_sub * Bp + b_lane, _BIG)
+    pick = jnp.min(lin)
+    l0 = pick // Bp
+    b0 = pick - l0 * Bp
+    idx_ref[0, 0] = l0
+
+    # Prefetch the first two U chunks.
+    def start_chunk(c):
+        size = K  # planes beyond nsteps are padded in U_hbm
+        pltpu.make_async_copy(
+            U_hbm_ref.at[pl.ds(c * K, size)], u_buf_ref.at[c % 2], sem.at[c % 2]
+        ).start()
+
+    start_chunk(0)
+    if nchunks > 1:
+        start_chunk(1)
+
+    def step(k, carry):
+        l, b = carry
+        chunk = k // K
+        row = k - chunk * K
+        slot = jax.lax.rem(chunk, 2)
+
+        @pl.when(row == 0)
+        def _():
+            pltpu.make_async_copy(
+                U_hbm_ref.at[pl.ds(chunk * K, K)], u_buf_ref.at[slot], sem.at[slot]
+            ).wait()
+
+        # Dynamic lane extraction is not allowed on TPU — select the (l, b)
+        # entry with a masked vector reduction instead.
+        plane = u_buf_ref[slot, row]  # (Lp, Bp)
+        l_next = jnp.max(jnp.where((l_sub == l) & (b_lane == b), plane, 0))
+        bt_row = btilde_ref[pl.ds(k, 1), :]  # (1, L) — btilde may be unpadded
+        bt_iota = jax.lax.broadcasted_iota(jnp.int32, bt_row.shape, 1)
+        bt_l = jnp.max(jnp.where(bt_iota == l, bt_row, 0))
+        b_next = b - bt_l  # decrement AFTER lookup
+        idx_ref[k + 1, 0] = l_next
+
+        @pl.when((row == K - 1) & (chunk + 2 <= nchunks - 1))
+        def _():
+            pltpu.make_async_copy(
+                U_hbm_ref.at[pl.ds((chunk + 2) * K, K)],
+                u_buf_ref.at[slot],
+                sem.at[slot],
+            ).start()
+
+        return (l_next, b_next)
+
+    jax.lax.fori_loop(0, nsteps, step, (l0, b0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def backtrack_pallas(U, phi0, btilde, levels, B_new, interpret: bool = False):
+    """Drop-in device-side replacement for :func:`bellman.backtrack` on the
+    padded tables produced by :func:`bellman_pallas.build_tables_pallas`.
+
+    Returns ``(u, level_idx)`` like the scan version.
+    """
+    nsteps, Lp, Bp = U.shape
+    nt = nsteps + 1
+    K = max(1, min(64, nsteps, (2 << 20) // (Lp * Bp * 4)))
+    nchunks = -(-nsteps // K)
+    pad = nchunks * K - nsteps
+    if pad:
+        U = jnp.concatenate([U, jnp.zeros((pad, Lp, Bp), U.dtype)])
+
+    bnew = jnp.asarray(B_new, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_bt_kernel, nt=nt, K=K)
+    idx = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, 1), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # U stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Lp, Bp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(bnew, phi0.astype(jnp.float32), btilde, U)
+    level_idx = idx[:, 0]
+    levels = jnp.asarray(levels)
+    return levels[level_idx], level_idx

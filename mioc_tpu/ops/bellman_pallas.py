@@ -1,0 +1,194 @@
+"""Pallas TPU kernel for the Bellman DP backward sweep.
+
+The XLA-scan path in :mod:`.bellman` dispatches ~10 small vector ops per time
+step; for the bundled problem sizes (L ≤ 36, B ≤ 256) each step's arithmetic
+is microseconds of VPU work, so per-op overhead dominates.  This kernel fuses
+the ENTIRE backward recursion into one ``pallas_call``:
+
+  * the value table Φ ``(Lp, Bp)`` lives in VMEM for the whole sweep
+    (budget on the 128-wide lanes, level combinations on sublanes);
+  * the tropical contraction ``min_j (Φ[j, b] + jump[l, j])`` is an unrolled
+    loop over the L successor combinations of fully vectorized lane ops,
+    tracking the running argmin;
+  * the data-dependent budget shift is a select over ``smax+1`` static lane
+    rotations (see :mod:`.bellman` module docs);
+  * the per-step argmin plane ``U_i`` is double-buffered in VMEM and streamed
+    to HBM with async DMA overlapped with the next step's compute.
+
+Returns the same (padded) tables the scan path produces; ``backtrack`` from
+:mod:`.bellman` consumes them unchanged (padded level rows hold +inf and are
+never selected).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["build_tables_pallas", "pallas_supported"]
+
+_INF = np.float32(np.inf)  # numpy scalar: a static constant inside kernels
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def pallas_supported() -> bool:
+    """True when a TPU backend is available for the compiled kernel."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _dp_kernel(
+    stage_ref,    # (nt, Lp) f32, VMEM
+    btilde_ref,   # (nt, Lp) i32, VMEM
+    jump_ref,     # (Lp, Lp) f32, VMEM
+    U_hbm_ref,    # out 0: (nchunks*K, Lp, Bp) i32, HBM (streamed per chunk)
+    phi0_ref,     # out 1: (Lp, Bp) f32, VMEM
+    phi_ref,      # scratch: (Lp, Bp) f32
+    u_buf_ref,    # scratch: (2, K, Lp, Bp) i32 — double-buffered chunk
+    send_sem,     # DMA semaphores (2,)
+    *,
+    nt: int,
+    L: int,
+    smax: int,
+    K: int,
+):
+    Lp, Bp = phi_ref.shape
+    b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
+    nsteps = nt - 1
+
+    # Terminal layer i = nt-1: Φ[l, b] = stage if b == b̃ else +inf.
+    phi_ref[:] = jnp.where(
+        b_lane == btilde_ref[nt - 1, :][:, None],
+        stage_ref[nt - 1, :][:, None],
+        _INF,
+    )
+
+    def step(i_rev, _):
+        i = nsteps - 1 - i_rev  # sweep i = nt-2 … 0
+        phi = phi_ref[:]
+
+        # Tropical contraction with running argmin over successor j (< L).
+        val = phi[0, :][None, :] + jump_ref[:, 0][:, None]
+        arg = jnp.zeros((Lp, Bp), jnp.int32)
+        for j in range(1, L):
+            cand = phi[j, :][None, :] + jump_ref[:, j][:, None]
+            better = cand < val
+            val = jnp.where(better, cand, val)
+            arg = jnp.where(better, j, arg)
+
+        # Budget shift: out[l, b] = val[l, b − b̃_l] via static lane rotations.
+        btilde_i = btilde_ref[i, :][:, None]  # (Lp, 1)
+        new_phi = jnp.full((Lp, Bp), _INF)
+        new_arg = jnp.zeros((Lp, Bp), jnp.int32)
+        for s in range(smax + 1):
+            v = pltpu.roll(val, s, 1) if s else val
+            a = pltpu.roll(arg, s, 1) if s else arg
+            sel = (btilde_i == s) & (b_lane >= s)
+            new_phi = jnp.where(sel, v, new_phi)
+            new_arg = jnp.where(sel, a, new_arg)
+
+        phi_ref[:] = stage_ref[i, :][:, None] + new_phi
+
+        # Chunked streaming: per-step DMA issue costs ~15 µs, dwarfing the
+        # ~0.1 µs of compute per step, so K argmin planes are buffered in
+        # VMEM and flushed with ONE DMA per chunk (double-buffered).
+        chunk = i // K
+        slot = jax.lax.rem(chunk, 2)
+        row = i - chunk * K
+
+        @pl.when((row == K - 1) | (i == nsteps - 1))
+        def _():  # first visit of a chunk: wait for its buffer's old DMA
+            @pl.when(chunk <= (nsteps - 1) // K - 2)
+            def _():
+                pltpu.make_async_copy(
+                    u_buf_ref.at[slot],
+                    U_hbm_ref.at[pl.ds((chunk + 2) * K, K)],
+                    send_sem.at[slot],
+                ).wait()
+
+        u_buf_ref[slot, row] = new_arg
+
+        @pl.when(row == 0)
+        def _():  # chunk complete (sweep is backward): flush it
+            pltpu.make_async_copy(
+                u_buf_ref.at[slot],
+                U_hbm_ref.at[pl.ds(chunk * K, K)],
+                send_sem.at[slot],
+            ).start()
+
+        return ()
+
+    jax.lax.fori_loop(0, nsteps, step, (), unroll=False)
+
+    # Drain the last two outstanding chunk DMAs (chunks 0 and 1).
+    for chunk in range(min(2, (nsteps + K - 1) // K)):
+        pltpu.make_async_copy(
+            u_buf_ref.at[chunk % 2],
+            U_hbm_ref.at[pl.ds(chunk * K, K)],
+            send_sem.at[chunk % 2],
+        ).wait()
+
+    phi0_ref[:] = phi_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("B", "smax", "interpret"))
+def build_tables_pallas(stage, btilde, jump_cost, B: int, smax: int,
+                        interpret: bool = False):
+    """Fused-kernel equivalent of :func:`mioc_tpu.ops.bellman.build_tables`.
+
+    Returns ``(U, phi0)`` with padded shapes ``(nt-1, Lp, Bp)`` / ``(Lp, Bp)``
+    where ``Lp = roundup(L, 8)``, ``Bp = roundup(B+1, 128)``; padded level
+    rows hold ``+inf`` in ``phi0`` and are never selected by ``backtrack``.
+    """
+    nt, L = stage.shape
+    Lp = _round_up(max(L, 8), 8)
+    Bp = _round_up(B + 1, 128)
+
+    stage_p = jnp.full((nt, Lp), _INF, jnp.float32).at[:, :L].set(
+        stage.astype(jnp.float32)
+    )
+    btilde_p = jnp.full((nt, Lp), Bp + 1, jnp.int32).at[:, :L].set(btilde)
+    jump_p = jnp.full((Lp, Lp), _INF, jnp.float32).at[:L, :L].set(
+        jump_cost.astype(jnp.float32)
+    )
+
+    # Chunk size for U streaming: ≤ ~2 MB per buffer slot.
+    nsteps = nt - 1
+    K = max(1, min(64, nsteps, (2 << 20) // (Lp * Bp * 4)))
+    nchunks = -(-nsteps // K)
+
+    kernel = functools.partial(_dp_kernel, nt=nt, L=L, smax=min(smax, B), K=K)
+    U, phi0 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks * K, Lp, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((Lp, Bp), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),   # U stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Lp, Bp), jnp.float32),
+            pltpu.VMEM((2, K, Lp, Bp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(stage_p, btilde_p, jump_p)
+    return U[:nsteps], phi0

@@ -36,7 +36,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.bellman import backtrack, build_tables, stage_tables
+from ..ops.bellman import backtrack, build_tables, max_budget_use, stage_tables
+from ..ops.bellman_pallas import build_tables_pallas, pallas_supported
 from ..ops.levels import jump_cost_table
 from ..ops.tv import tv_p
 from ..utils.init import rand_func
@@ -57,6 +58,7 @@ class TRMParameters:
     maxiter: int = 1000      # max outer iterations
     log: bool = False        # print the iteration table
     compat_pinf: bool = False  # reproduce the reference's p=inf jump cost
+    use_pallas: Optional[bool] = None  # fused DP kernel (None: auto on TPU)
     metrics_path: Optional[str] = None  # jsonl per-iteration metrics
     checkpoint_path: Optional[str] = None  # npz snapshot per outer iteration
 
@@ -99,6 +101,9 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
     u_old = obj.x
 
     B = int(math.floor(par.delta0 / dt))
+    smax = max_budget_use(adm.levels)
+    use_pallas = par.use_pallas if par.use_pallas is not None else pallas_supported()
+    dp_build = build_tables_pallas if use_pallas else build_tables
 
     timers = {"dp": 0.0, "backtrack": 0.0, "f": 0.0, "df": 0.0}
     log = IterationLog(enabled=par.log, metrics_path=par.metrics_path)
@@ -142,7 +147,7 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
             else:
                 t0 = time.perf_counter()
                 stage, btilde = stage_tables(grad, u_old, levels, dt)
-                U, phi0 = build_tables(stage, btilde, jump, B)
+                U, phi0 = dp_build(stage, btilde, jump, B, smax)
                 jnp.asarray(phi0).block_until_ready()
                 timers["dp"] += time.perf_counter() - t0
                 dp_builds += 1

@@ -1,0 +1,239 @@
+"""FEM layer tests: quadrature exactness, shape functions, mesh invariants,
+assembly correctness, prolongation, refinement (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from mioc_tpu.fem import (
+    FE_Lagrange,
+    area_integrator,
+    bdry_integrator,
+    cell_dofs,
+    dirichlet_constraints,
+    init_mesh,
+    mesh_library,
+    moebius_mesh,
+    ndofs,
+    prolongation,
+    quadrature_unit_triangle_area,
+    quadrature_unit_triangle_bdry,
+    refine_adaptively,
+    refine_all_cells,
+    sanity_check,
+    shape,
+    torus_mesh,
+    triangle_mesh,
+)
+from mioc_tpu.fem.fe import global_dof_points
+from mioc_tpu.fem.mesh import cell_areas
+
+
+# -- quadrature ---------------------------------------------------------------
+
+def _monomial_integral(i, j):
+    """∫_T x^i y^j over the unit triangle = i! j! / (i+j+2)!"""
+    from math import factorial
+
+    return factorial(i) * factorial(j) / factorial(i + j + 2)
+
+
+@pytest.mark.parametrize("order", [1, 2, 3, 4, 5, 6])
+def test_area_quadrature_exactness(order):
+    lam, w = quadrature_unit_triangle_area(order)
+    x, y = lam[:, 1], lam[:, 2]
+    for i in range(order + 1):
+        for j in range(order + 1 - i):
+            got = np.sum(w * x**i * y**j)
+            np.testing.assert_allclose(got, _monomial_integral(i, j), rtol=1e-13)
+
+
+@pytest.mark.parametrize("order", [1, 3, 5])
+@pytest.mark.parametrize("edge", [1, 2, 3])
+def test_bdry_quadrature_exactness(edge, order):
+    lam, w = quadrature_unit_triangle_bdry(edge, order)
+    # Parametrize the edge by arclength fraction s ∈ [0,1]; integrate s^k.
+    assert np.allclose(lam[:, edge - 1], 0)  # edge i has λ_i = 0
+    s = lam[:, edge % 3]  # one of the varying coordinates
+    for k in range(order + 1):
+        np.testing.assert_allclose(np.sum(w * s**k), 1.0 / (k + 1), rtol=1e-13)
+
+
+# -- shape functions ----------------------------------------------------------
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_lagrange_nodal_property(k):
+    fe = FE_Lagrange(k)
+    val = shape(fe, fe.nodes)
+    np.testing.assert_allclose(val, np.eye(len(fe.nodes)), atol=1e-13)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_partition_of_unity_and_gradients(k):
+    fe = FE_Lagrange(k)
+    rng = np.random.default_rng(0)
+    lam = rng.dirichlet(np.ones(3), size=7)
+    val, dval = shape(fe, lam, return_d=True)
+    np.testing.assert_allclose(val.sum(axis=1), 1.0, atol=1e-13)
+    np.testing.assert_allclose(dval.sum(axis=2), 0.0, atol=1e-12)
+    # FD check of gradients in reference-triangle coordinates (x=λ2, y=λ3).
+    eps = 1e-7
+    for d, vec in [(0, (-eps, eps, 0.0)), (1, (-eps, 0.0, eps))]:
+        vp = shape(fe, lam + vec)
+        vm = shape(fe, lam - np.array(vec))
+        np.testing.assert_allclose((vp - vm) / (2 * eps), dval[:, d, :], atol=1e-6)
+
+
+def test_hessians_p2():
+    fe = FE_Lagrange(2)
+    lam = np.array([[0.3, 0.3, 0.4]])
+    val, dval, H = shape(fe, lam, return_d=True, return_H=True)
+    # φ for vertex 1 is λ1(2λ1−1), λ1 = 1−x−y ⇒ Hessian = 4·ones(2,2).
+    np.testing.assert_allclose(H[0, 0], 4.0 * np.ones((2, 2)), atol=1e-12)
+
+
+# -- meshes -------------------------------------------------------------------
+
+def test_square_mesh_invariants():
+    mesh = mesh_library("squareg", 0.1)
+    euler, area, circ = sanity_check(mesh)
+    assert euler == 1  # disk topology
+    np.testing.assert_allclose(area, 4.0, rtol=1e-12)
+    np.testing.assert_allclose(circ, 8.0, rtol=1e-12)
+    # All cells respect the area bound reasonably.
+    assert cell_areas(mesh).max() <= 0.1 * 1.5
+
+
+def test_lshape_mesh_invariants():
+    mesh = mesh_library("lshapeg", 0.05)
+    euler, area, circ = sanity_check(mesh)
+    assert euler == 1
+    np.testing.assert_allclose(area, 3.0, rtol=1e-12)
+    np.testing.assert_allclose(circ, 8.0, rtol=1e-12)
+
+
+def test_refine_all_cells_preserves_geometry():
+    mesh = mesh_library("squareg", 0.5)
+    r = refine_all_cells(mesh)
+    assert r.ntri == 4 * mesh.ntri
+    _, area, circ = sanity_check(r)
+    np.testing.assert_allclose(area, 4.0, rtol=1e-12)
+    np.testing.assert_allclose(circ, 8.0, rtol=1e-12)
+
+
+def test_refine_adaptively():
+    mesh = mesh_library("squareg", 0.5)
+    r = refine_adaptively(mesh, np.arange(min(3, mesh.ntri)))
+    assert r.ntri > mesh.ntri
+    _, area, _ = sanity_check(r)
+    np.testing.assert_allclose(area, 4.0, rtol=1e-12)
+
+
+def test_torus_mesh_closed_surface():
+    m = torus_mesh(3.0, 1.0, 24, 8)
+    euler, _, _ = sanity_check(m)
+    assert euler == 0  # torus
+    assert len(m.be) == 0
+
+
+def test_moebius_mesh():
+    m = moebius_mesh(3.0, 1.0, 30)
+    euler, _, _ = sanity_check(m)
+    assert euler == 0  # Möbius strip has Euler characteristic 0
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_ndofs_formula(k):
+    mesh = mesh_library("squareg", 0.3)
+    fe = FE_Lagrange(k)
+    expected = mesh.np + mesh.ne * (k - 1) + mesh.ntri * ((k - 1) * (k - 2)) // 2
+    assert ndofs(fe, mesh) == expected
+    # Every cell dof index is within range, and P2/P3 edge dofs consistent.
+    cd = cell_dofs(fe, mesh)
+    assert cd.min() >= 0 and cd.max() < expected
+
+
+# -- assembly -----------------------------------------------------------------
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_mass_matrix_total_and_stiffness_nullspace(k):
+    mesh = mesh_library("squareg", 0.2)
+    fe = FE_Lagrange(k)
+    quad = quadrature_unit_triangle_area(2 * k)
+    A, _ = area_integrator(mesh, fe, quad, 1.0, None, None, None)
+    M, F = area_integrator(mesh, fe, quad, None, None, 1.0, 1.0)
+    ones = np.ones(ndofs(fe, mesh))
+    # Constants are in the stiffness nullspace; mass total = area; F = ∫φ_i.
+    np.testing.assert_allclose(np.abs(A @ ones).max(), 0.0, atol=1e-10)
+    np.testing.assert_allclose(ones @ M @ ones, 4.0, rtol=1e-12)
+    np.testing.assert_allclose(F.sum(), 4.0, rtol=1e-12)
+    np.testing.assert_allclose(M @ ones, F, atol=1e-12)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_robin_constant_solution(k):
+    """-Δu = 0, ∂u/∂n + u = 1 on Γ  ⇒  u ≡ 1 exactly."""
+    mesh = mesh_library("squareg", 0.2)
+    fe = FE_Lagrange(k)
+    quad = quadrature_unit_triangle_area(2 * k)
+    A, _ = area_integrator(mesh, fe, quad, 1.0, None, None, None)
+    Q, G = bdry_integrator(mesh, fe, 3, 1.0, 1.0)
+    u = spla.spsolve((A + Q).tocsc(), G)
+    np.testing.assert_allclose(u, 1.0, atol=1e-10)
+
+
+def test_poisson_dirichlet_saddle_point():
+    """-Δu = 1 with u = 0 on Γ via the saddle-point form (test_FEM.jl:62-73):
+    compare P1 and P2 solutions at shared vertices; check max principle."""
+    import scipy.sparse as sp
+
+    mesh = mesh_library("squareg", 0.05)
+    sols = {}
+    for k in [1, 2]:
+        fe = FE_Lagrange(k)
+        quad = quadrature_unit_triangle_area(2 * k)
+        A, F = area_integrator(mesh, fe, quad, 1.0, None, None, 1.0)
+        D = dirichlet_constraints(fe, mesh)
+        Z = sp.csr_matrix((D.shape[0], D.shape[0]))
+        K = sp.bmat([[A, D.T], [D, Z]], format="csc")
+        rhs = np.concatenate([F, np.zeros(D.shape[0])])
+        sols[k] = spla.spsolve(K, rhs)[: ndofs(fe, mesh)]
+    # Agreement at vertices between P1 and P2 within discretization error.
+    assert np.abs(sols[1][: mesh.np] - sols[2][: mesh.np]).max() < 2e-2
+    # Max of the exact solution on [-1,1]² is ≈ 0.2947.
+    assert 0.25 < sols[2].max() < 0.31
+
+
+def test_function_coefficients():
+    """Field coefficient f(x) integrates correctly: ∫ x² over the square."""
+    mesh = mesh_library("squareg", 0.1)
+    fe = FE_Lagrange(2)
+    quad = quadrature_unit_triangle_area(4)
+    _, F = area_integrator(
+        mesh, fe, quad, None, None, None, lambda x: x[0] ** 2
+    )
+    np.testing.assert_allclose(F.sum(), 4.0 / 3.0, rtol=1e-12)
+
+
+# -- prolongation -------------------------------------------------------------
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_prolongation_reproduces_polynomials(k):
+    mesh = mesh_library("squareg", 0.4)
+    rmesh = refine_all_cells(mesh)
+    fe = FE_Lagrange(k)
+    P = prolongation(mesh, rmesh, fe)
+    f = lambda x, y: (x + 0.3 * y) ** k  # degree-k polynomial: exact
+    U = np.array([f(*pt) for pt in global_dof_points(fe, mesh)])
+    Ur = np.array([f(*pt) for pt in global_dof_points(fe, rmesh)])
+    np.testing.assert_allclose(P @ U, Ur, atol=1e-11)
+
+
+def test_prolongation_p3_to_p1():
+    mesh = triangle_mesh()
+    rmesh = refine_all_cells(mesh)
+    P = prolongation(mesh, rmesh, FE_Lagrange(3), FE_Lagrange(1))
+    f = lambda x, y: x**3 - 2 * x * y
+    U = np.array([f(*pt) for pt in global_dof_points(FE_Lagrange(3), mesh)])
+    Ur = np.array([f(*pt) for pt in global_dof_points(FE_Lagrange(1), rmesh)])
+    np.testing.assert_allclose(P @ U, Ur, atol=1e-12)

@@ -1,0 +1,75 @@
+"""Heat PDE objective: FD-vs-adjoint, implicit-Euler sanity, TRM solve."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mioc_tpu.models import HeatObj
+from mioc_tpu.solvers.trm import TRMParameters, trm_solve
+
+
+@pytest.fixture(scope="module")
+def heat_small():
+    from mioc_tpu.models.heat import construct_mesh
+
+    return HeatObj(nt=40, mesh=construct_mesh(refinements=2))
+
+
+def test_heat_fd_gradient(heat_small):
+    obj = heat_small
+    u = np.ones((obj.nt, 2))
+    obj.x = jnp.asarray(u)
+    f0 = obj.eval_f_()
+    obj.eval_df_()
+    h = np.random.default_rng(0).normal(size=u.shape)
+    dfh = obj.tau * float(jnp.sum(obj.df * h))
+    t = 1e-6
+    fd = (obj.eval_f(u + t * h) - f0) / t
+    # Exact discrete adjoint: FD error is O(t) (quadratic objective).
+    assert abs(fd - dfh) / abs(dfh) < 1e-5
+
+
+def test_heat_state_monotone_heating(heat_small):
+    """With both heaters at max the mean temperature rises toward/above the
+    equilibrium of the source-vs-Robin-loss balance; with heaters off it
+    decays toward Tout."""
+    obj = heat_small
+    hot = obj.eval_f(np.full((obj.nt, 2), 5.0))
+    off_x = np.zeros((obj.nt, 2))
+    obj.x = jnp.asarray(off_x)
+    obj.eval_f_()
+    y_off = np.asarray(obj.state)
+    mean_off = y_off.mean(axis=1)
+    assert mean_off[-1] < mean_off[0]  # cooling toward Tout=0
+    assert np.isfinite(hot)
+
+
+def test_heat_compat_skip_first_gu(heat_small):
+    obj = heat_small
+    obj.x = jnp.asarray(np.ones((obj.nt, 2)))
+    obj.eval_f_()
+    obj.eval_df_()
+    df_exact = np.asarray(obj.df).copy()
+    obj.compat_skip_first_gu = True
+    obj._build()
+    obj.df_valid = False
+    obj.eval_df_()
+    df_compat = np.asarray(obj.df)
+    obj.compat_skip_first_gu = False
+    obj._build()
+    # Differs only in the first row, by exactly c_0·Gu = ½γ.
+    np.testing.assert_allclose(df_exact[1:], df_compat[1:], rtol=1e-12)
+    np.testing.assert_allclose(df_exact[0] - df_compat[0], 0.5 * obj.gamma)
+
+
+@pytest.mark.slow
+def test_heat_trm_solve():
+    from mioc_tpu.models.heat import construct_mesh
+
+    obj = HeatObj(nt=60, mesh=construct_mesh(refinements=2))
+    res = trm_solve(obj, TRMParameters(beta=0.001, delta0=2.0, p=2), seed=0)
+    assert res.converged
+    # Heating from 10 toward 20 with cost: objective well below the do-nothing
+    # value and the control uses high heat early.
+    J_off = obj.eval_f(np.zeros((obj.nt, 2)))
+    assert res.f < J_off
