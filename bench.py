@@ -46,12 +46,14 @@ def jax_dp_seconds():
     import jax.numpy as jnp
     import numpy as np
 
+    from mioc_tpu.ops.backtrack_pallas import backtrack_pallas
     from mioc_tpu.ops.bellman import (
         backtrack,
         build_tables,
         max_budget_use,
         stage_tables,
     )
+    from mioc_tpu.ops.bellman_pallas import build_tables_pallas, pallas_supported
     from mioc_tpu.ops.levels import jump_cost_table, product_levels
 
     adm = product_levels([[-2, -1, 0, 1, 2]])
@@ -63,11 +65,14 @@ def jax_dp_seconds():
     tau = 2.0 / NT
 
     smax = max_budget_use(adm.levels)
+    use_pallas = pallas_supported()
+    bt_fn = backtrack_pallas if use_pallas else backtrack
+    build_fn = build_tables_pallas if use_pallas else build_tables
 
     def dp(grad, u_old):
         stage, btilde = stage_tables(grad, u_old, levels, tau)
-        U, phi0 = build_tables(stage, btilde, jump, B, smax)
-        u, idx = backtrack(U, phi0, btilde, levels, jnp.int32(B))
+        U, phi0 = build_fn(stage, btilde, jump, B, smax)
+        u, idx = bt_fn(U, phi0, btilde, levels, jnp.int32(B))
         return u, phi0
 
     dp_jit = jax.jit(dp)

@@ -1,0 +1,121 @@
+"""Command-line driver: solve a predefined problem with the TRM.
+
+Re-design of ``main`` (``/root/reference/multi-trust.jl:179-206``) with the
+reference's per-problem solver presets.  Usage::
+
+    python -m mioc_tpu.cli fishing --n 1024
+    python -m mioc_tpu.cli heat --n 500 --no-plot --metrics out.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Per-problem presets (multi-trust.jl:181-198).
+PRESETS = {
+    "fishing": dict(beta=1e-4, delta0=2.0, p=np.inf),
+    "doubletank": dict(beta=1e-5, delta0=2.0, p=np.inf),
+    "vanderpol": dict(beta=0.1, delta0=1.0, p=np.inf),
+    "convolution": dict(beta=1e-4, delta0=0.125, p=1),
+    "heat": dict(beta=1e-3, delta0=2.0, p=2),
+}
+
+
+def build_objective(problem: str, n: int):
+    from . import models
+
+    if problem == "fishing":
+        return models.LVMObj(nt=n)
+    if problem == "doubletank":
+        return models.DTMObj(nt=n)
+    if problem == "vanderpol":
+        return models.VPOObj(nt=n)
+    if problem == "convolution":
+        return models.ConvObj(nt=n)
+    if problem == "heat":
+        return models.HeatObj(nt=n)
+    raise SystemExit(f'I do not know the problem "{problem}".')
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("problem", nargs="?", default="fishing",
+                    choices=sorted(PRESETS))
+    ap.add_argument("--n", type=int, default=1024, help="number of time steps")
+    ap.add_argument("--seed", type=int, default=None, help="x0 RNG seed")
+    ap.add_argument("--beta", type=float, default=None)
+    ap.add_argument("--delta0", type=float, default=None)
+    ap.add_argument("--p", type=float, default=None)
+    ap.add_argument("--maxiter", type=int, default=1000)
+    ap.add_argument("--no-plot", action="store_true")
+    ap.add_argument("--no-log", action="store_true")
+    ap.add_argument("--metrics", default=None, help="jsonl metrics path")
+    ap.add_argument("--checkpoint", default=None, help="npz checkpoint path")
+    ap.add_argument("--multistart", type=int, default=1,
+                    help="number of random restarts (best result kept)")
+    args = ap.parse_args(argv)
+
+    from .solvers.trm import TRMParameters, trm_solve
+
+    preset = dict(PRESETS[args.problem])
+    for key in ("beta", "delta0", "p"):
+        if getattr(args, key) is not None:
+            preset[key] = getattr(args, key)
+    par = TRMParameters(
+        **preset,
+        maxiter=args.maxiter,
+        log=not args.no_log,
+        metrics_path=args.metrics,
+        checkpoint_path=args.checkpoint,
+    )
+
+    t0 = time.time()
+    if args.multistart > 1:
+        from .parallel import multistart_solve
+
+        res, _ = multistart_solve(
+            lambda: build_objective(args.problem, args.n),
+            args.multistart, par, seed=args.seed or 0,
+        )
+        obj = None
+    else:
+        obj = build_objective(args.problem, args.n)
+        res = trm_solve(obj, par, seed=args.seed)
+    wall = time.time() - t0
+
+    print(f"{wall:.3f} seconds")
+    print(f"Objective Value: J = {res.J}")
+    print(json.dumps({
+        "problem": args.problem, "n": args.n, "J": res.J,
+        "iterations": res.iterations, "f_evals": res.f_evals,
+        "df_evals": res.df_evals, "converged": res.converged,
+        "wall_s": round(wall, 3),
+        "timings": {k: round(v, 3) for k, v in res.timings.items()},
+    }))
+
+    if not args.no_plot and obj is not None:
+        from .utils.plotting import plot_results
+
+        out = plot_results(obj)
+        print(f"plot saved to {out}")
+        from .objectives.pde import PDEObjective
+
+        if isinstance(obj, PDEObjective):
+            from .utils.plotting import animate_solution
+
+            print("Animating solution, this could take a few seconds")
+            out = animate_solution(
+                obj.mesh, np.asarray(obj.state).T, obj.tau,
+                v=np.asarray(res.u),
+            )
+            print(f"animation saved to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,7 +36,9 @@ def _bt_kernel(
     phi0_ref,     # (Lp, Bp) f32, VMEM
     btilde_ref,   # (nt, Lp) i32, VMEM
     U_hbm_ref,    # (nsteps_pad, Lp, Bp) i32, HBM
-    idx_ref,      # out: (nt, 1) i32, SMEM
+    idx_ref,      # out: (1, ntp) i32, VMEM row (masked whole-row updates:
+                  #   per-step scalar stores are not allowed on TPU, and an
+                  #   SMEM output of nt scalars blows the 1 MB SMEM budget)
     u_buf_ref,    # scratch: (2, K, Lp, Bp) i32
     sem,          # DMA semaphores (2,)
     *,
@@ -48,6 +50,7 @@ def _bt_kernel(
     nchunks = -(-nsteps // K)
     b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
     l_sub = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 0)
+    t_lane = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 1)
 
     # Seed argmin, reference order: linear index l*Bp + b, b fastest within l.
     masked = jnp.where(b_lane <= bnew_ref[0, 0], phi0_ref[:], _INF)
@@ -56,7 +59,7 @@ def _bt_kernel(
     pick = jnp.min(lin)
     l0 = pick // Bp
     b0 = pick - l0 * Bp
-    idx_ref[0, 0] = l0
+    idx_ref[:] = jnp.where(t_lane == 0, l0, jnp.zeros_like(t_lane))
 
     # Prefetch the first two U chunks.
     def start_chunk(c):
@@ -89,7 +92,7 @@ def _bt_kernel(
         bt_iota = jax.lax.broadcasted_iota(jnp.int32, bt_row.shape, 1)
         bt_l = jnp.max(jnp.where(bt_iota == l, bt_row, 0))
         b_next = b - bt_l  # decrement AFTER lookup
-        idx_ref[k + 1, 0] = l_next
+        idx_ref[:] = jnp.where(t_lane == k + 1, l_next, idx_ref[:])
 
         @pl.when((row == K - 1) & (chunk + 2 <= nchunks - 1))
         def _():
@@ -120,17 +123,18 @@ def backtrack_pallas(U, phi0, btilde, levels, B_new, interpret: bool = False):
         U = jnp.concatenate([U, jnp.zeros((pad, Lp, Bp), U.dtype)])
 
     bnew = jnp.asarray(B_new, jnp.int32).reshape(1, 1)
+    ntp = -(-nt // 128) * 128
     kernel = functools.partial(_bt_kernel, nt=nt, K=K)
     idx = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nt, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, ntp), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # U stays in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, K, Lp, Bp), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -138,6 +142,6 @@ def backtrack_pallas(U, phi0, btilde, levels, B_new, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(bnew, phi0.astype(jnp.float32), btilde, U)
-    level_idx = idx[:, 0]
+    level_idx = idx[0, :nt]
     levels = jnp.asarray(levels)
     return levels[level_idx], level_idx

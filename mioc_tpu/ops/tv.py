@@ -23,7 +23,8 @@ def tv_p(u, p) -> jnp.ndarray:
         return jnp.asarray(0.0)
     u = jnp.asarray(u)
     d = jnp.abs(u[1:] - u[:-1])  # (nt-1, M)
-    if jnp.isinf(p):
+    p = float(p)  # the norm parameter is static (jit-branch on host)
+    if p == float("inf"):
         return d.max(axis=-1).sum()
     if p > 0:
         return ((d**p).sum(axis=-1) ** (1.0 / p)).sum()

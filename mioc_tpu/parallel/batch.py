@@ -1,0 +1,90 @@
+"""Scenario/multistart batch parallelism.
+
+The reference solves one instance on one CPU core; the TPU-native framework
+treats random restarts and problem scenarios as a batch axis, sharded across
+the device mesh.  Two levels are provided:
+
+* :func:`make_ode_trm_step` — a jitted, mesh-sharded "training step": for a
+  batch of current controls, compute the discrete-adjoint gradient, build the
+  Bellman tables, extract the DP minimizer, and evaluate the trial objective —
+  i.e. one full TRM inner step for every scenario at once (the expensive,
+  device-resident part of the outer loop; accept/halve logic remains host-side
+  per scenario).
+* :func:`multistart_solve` — full TRM solves from ``n_starts`` random
+  admissible controls, returning the best result (the reference's golden value
+  is start-dependent; multistart recovers the best stationary point).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.bellman import backtrack, build_tables, max_budget_use, stage_tables
+from ..ops.levels import jump_cost_table
+from ..ops.tv import tv_p
+
+__all__ = ["make_ode_trm_step", "multistart_solve"]
+
+
+def make_ode_trm_step(obj, *, beta: float, p, delta0: float, mesh=None,
+                      compat_pinf: bool = False):
+    """Build ``step(u_batch) -> (u_new, J_new, J_model)`` for an ODE (or any
+    Lazy) objective with compiled ``_forward``/``_adjoint`` sweeps.
+
+    ``u_batch`` is ``(S, nt, nx)``; with a mesh, inputs/outputs are sharded
+    over its ``batch`` axis (scenario data parallelism over ICI).
+    ``J_model[s]`` is the DP's model objective τ·∇f·u + β·TV (per scenario).
+    """
+    adm = obj.admissible
+    levels = jnp.asarray(adm.levels)
+    jump = jnp.asarray(
+        jump_cost_table(adm.levels, p, beta=beta, compat_pinf=compat_pinf)
+    )
+    smax = max_budget_use(adm.levels)
+    B = int(np.floor(delta0 / obj.tau))
+    tau = obj.tau
+
+    def one(u):
+        f_old, ys = obj._forward(u)
+        grad, _ = obj._adjoint(u, ys)
+        stage, btilde = stage_tables(grad, u, levels, tau)
+        U, phi0 = build_tables(stage, btilde, jump, B, smax)
+        u_new, idx = backtrack(U, phi0, btilde, levels, jnp.int32(B))
+        f_new, _ = obj._forward(u_new)
+        model = tau * jnp.sum(grad * u_new) + beta * tv_p(u_new, p)
+        return u_new, f_new, model
+
+    step = jax.vmap(one)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("batch"))
+        rep = NamedSharding(mesh, P())
+        step = jax.jit(
+            step,
+            in_shardings=(sh,),
+            out_shardings=(sh, NamedSharding(mesh, P("batch")), NamedSharding(mesh, P("batch"))),
+        )
+    else:
+        step = jax.jit(step)
+    return step
+
+
+def multistart_solve(obj_factory, n_starts: int, par=None, seed: int = 0,
+                     x0s: Optional[np.ndarray] = None):
+    """Run full TRM solves from ``n_starts`` random starts; return
+    ``(best_result, all_results)``."""
+    from ..solvers.trm import TRMParameters, trm_solve
+    from ..utils.init import rand_func
+
+    par = par or TRMParameters()
+    results = []
+    for s in range(n_starts):
+        obj = obj_factory() if callable(obj_factory) else obj_factory
+        x0 = x0s[s] if x0s is not None else rand_func(obj, seed=seed + s)
+        results.append(trm_solve(obj, par, x0=x0))
+    best = min(results, key=lambda r: r.J)
+    return best, results

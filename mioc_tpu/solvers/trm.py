@@ -36,6 +36,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.backtrack_pallas import backtrack_pallas
 from ..ops.bellman import backtrack, build_tables, max_budget_use, stage_tables
 from ..ops.bellman_pallas import build_tables_pallas, pallas_supported
 from ..ops.levels import jump_cost_table
@@ -104,6 +105,7 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
     smax = max_budget_use(adm.levels)
     use_pallas = par.use_pallas if par.use_pallas is not None else pallas_supported()
     dp_build = build_tables_pallas if use_pallas else build_tables
+    dp_backtrack = backtrack_pallas if use_pallas else backtrack
 
     timers = {"dp": 0.0, "backtrack": 0.0, "f": 0.0, "df": 0.0}
     log = IterationLog(enabled=par.log, metrics_path=par.metrics_path)
@@ -142,7 +144,7 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
             if halved:
                 B_new = int(math.floor(delta_k / dt))
                 u, _ = timed(
-                    "backtrack", backtrack, U, phi0, btilde, levels, jnp.int32(B_new)
+                    "backtrack", dp_backtrack, U, phi0, btilde, levels, jnp.int32(B_new)
                 )
             else:
                 t0 = time.perf_counter()
@@ -152,7 +154,7 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
                 timers["dp"] += time.perf_counter() - t0
                 dp_builds += 1
                 u, _ = timed(
-                    "backtrack", backtrack, U, phi0, btilde, levels, jnp.int32(B)
+                    "backtrack", dp_backtrack, U, phi0, btilde, levels, jnp.int32(B)
                 )
 
             # pred / ared (multi-trust.jl:117-127)

@@ -1,0 +1,135 @@
+"""Aux subsystems: continuous optimizers, IO (.dat/VTK/checkpoints), CLI,
+plotting smoke tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mioc_tpu.objectives.base import LazyObjective
+from mioc_tpu.solvers.continuous import (
+    ArmijoLS,
+    LSInitialLastInc,
+    NonlinCG,
+    SteepestDescent,
+    WolfeLS,
+    opt_optimize,
+)
+
+
+class Quadratic(LazyObjective):
+    """½ xᵀ Q x − bᵀx on a (nt, nx)-shaped variable."""
+
+    def __init__(self, n=12, seed=0):
+        super().__init__()
+        rng = np.random.default_rng(seed)
+        A = rng.normal(size=(n, n))
+        self.Q = jnp.asarray(A @ A.T + n * np.eye(n))
+        self.b = jnp.asarray(rng.normal(size=n))
+        self.nt, self.nu, self.nv = n, 1, 0
+        self.T0, self.T1, self.tau = 0.0, 1.0, 1.0 / n
+        self.x = jnp.zeros((n, 1))
+
+    def eval_f_impl(self, x, cache):
+        v = x[:, 0]
+        return 0.5 * v @ (self.Q @ v) - self.b @ v, None
+
+    def eval_df_impl(self):
+        return (self.Q @ self.x[:, 0] - self.b)[:, None]
+
+    def exact(self):
+        return np.linalg.solve(np.asarray(self.Q), np.asarray(self.b))
+
+
+@pytest.mark.parametrize(
+    "opt",
+    [
+        SteepestDescent(ls=ArmijoLS(lsi=LSInitialLastInc())),
+        NonlinCG(ls=WolfeLS()),
+        SteepestDescent(ls=WolfeLS()),
+    ],
+    ids=["sd-armijo", "ncg-wolfe", "sd-wolfe"],
+)
+def test_continuous_optimizers_solve_quadratic(opt):
+    obj = Quadratic()
+    opt.maxiter = 500
+    opt_optimize(opt, obj, np.zeros((12, 1)))
+    np.testing.assert_allclose(np.asarray(obj.x)[:, 0], obj.exact(), atol=1e-5)
+
+
+def test_armijo_rejects_ascent_direction():
+    obj = Quadratic()
+    obj.x = jnp.ones((12, 1))
+    obj.eval_fdf_()
+    with pytest.raises(ValueError):
+        ArmijoLS().apply(obj, obj.df)  # +gradient: ascent
+
+
+def test_dat_roundtrip(tmp_path):
+    from mioc_tpu.utils.io import import_from_latex_format, save_latex_format
+
+    x = np.linspace(0, 1, 11)
+    y = np.sin(x)
+    save_latex_format(x, y, "test", str(tmp_path))
+    # Header format parity: first line is "x    y" (HelpFunctions.jl:402-409).
+    first = open(tmp_path / "test.dat").readline()
+    assert first.split() == ["x", "y"]
+    x2, y2 = import_from_latex_format("test", str(tmp_path))
+    np.testing.assert_allclose(x2, x)
+    np.testing.assert_allclose(y2, y)
+
+
+def test_vtk_writer(tmp_path):
+    from mioc_tpu.fem import mesh_library
+    from mioc_tpu.utils.vtk import PVDCollection, pvd_append, write_vtk
+
+    mesh = mesh_library("squareg", 0.5)
+    u = np.random.default_rng(0).normal(size=mesh.np)
+    c = np.random.default_rng(1).normal(size=mesh.ntri)
+    v = np.random.default_rng(2).normal(size=(3, mesh.np))
+    f1 = write_vtk(str(tmp_path / "t1"), mesh, [("u", u), ("c", c), ("v", v)])
+    f2 = write_vtk(str(tmp_path / "t2"), mesh, ("v", v))
+    f3 = write_vtk(str(tmp_path / "t3"), mesh, u)
+    for f in (f1, f2, f3):
+        head = open(f).read(200)
+        assert "UNSTRUCTURED_GRID" in head
+    with PVDCollection(str(tmp_path / "series")) as pvd:
+        pvd_append(pvd, 0.0, mesh, u)
+        pvd_append(pvd, 0.1, mesh, u)
+    assert os.path.exists(tmp_path / "series.pvd")
+    assert "timestep" in open(tmp_path / "series.pvd").read()
+
+
+def test_plot_results_ode(tmp_path):
+    from mioc_tpu.models import LVMObj
+    from mioc_tpu.utils.plotting import plot_results
+
+    obj = LVMObj(nt=50)
+    obj.x = jnp.full((50, 3), 0.5)
+    obj.eval_fdf_()
+    out = plot_results(
+        obj, filename=str(tmp_path / "r.png"), data_dir=str(tmp_path / "dat")
+    )
+    assert os.path.exists(out)
+    assert os.path.exists(tmp_path / "dat" / "v(1).dat")
+    assert os.path.exists(tmp_path / "dat" / "y(1).dat")
+
+
+def test_cli_fishing(capsys, tmp_path, monkeypatch):
+    from mioc_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["fishing", "--n", "128", "--no-plot", "--no-log",
+               "--metrics", str(tmp_path / "m.jsonl")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Objective Value" in out
+    assert os.path.exists(tmp_path / "m.jsonl")
+
+
+def test_cli_unknown_problem():
+    from mioc_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["nonexistent"])

@@ -1,0 +1,111 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded DP equals the
+single-device tables; temporal (associative-scan) DP matches the sequential
+sweep; batched TRM step is consistent with per-scenario solves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mioc_tpu.ops.bellman import (
+    backtrack,
+    build_tables,
+    dp_solve,
+    max_budget_use,
+    stage_tables,
+)
+from mioc_tpu.ops.levels import bounded_sum_levels, jump_cost_table, product_levels
+from mioc_tpu.parallel import (
+    build_tables_sharded,
+    make_device_mesh,
+    make_ode_trm_step,
+    multistart_solve,
+    temporal_dp_solve,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def _problem(L_set, nt, B, seed=0, p=1, beta=0.1):
+    rng = np.random.default_rng(seed)
+    adm = L_set
+    grad = jnp.asarray(rng.normal(size=(nt, adm.M)))
+    u_old = jnp.asarray(adm.levels[rng.integers(0, adm.L, size=nt)])
+    jump = jnp.asarray(jump_cost_table(adm.levels, p=p, beta=beta))
+    levels = jnp.asarray(adm.levels)
+    return adm, grad, u_old, jump, levels
+
+
+@pytest.mark.parametrize("level_axis", [2, 4, 8])
+def test_sharded_dp_matches_unsharded(level_axis):
+    adm, grad, u_old, jump, levels = _problem(
+        product_levels([[0, 1], [0, 1], [0, 1]]), nt=40, B=10
+    )
+    B, smax = 10, max_budget_use(adm.levels)
+    tau = 0.1
+    stage, btilde = stage_tables(grad, u_old, levels, tau)
+    U_r, phi_r = build_tables(stage, btilde, jump, B, smax)
+    mesh = make_device_mesh(batch=1, level=level_axis)
+    U_s, phi_s = build_tables_sharded(stage, btilde, jump, B, smax, mesh)
+    np.testing.assert_allclose(np.asarray(phi_s), np.asarray(phi_r), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(U_s), np.asarray(U_r))
+    # Same extracted path.
+    _, i_r = backtrack(U_r, phi_r, btilde, levels, jnp.int32(B))
+    _, i_s = backtrack(U_s, phi_s, btilde, levels, jnp.int32(B))
+    np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_s))
+
+
+def test_temporal_dp_matches_sequential():
+    adm, grad, u_old, jump, levels = _problem(
+        bounded_sum_levels([[0, 1], [0, 1], [0, 1]], 1, 1), nt=16, B=6
+    )
+    tau = 0.1
+    u_seq, idx_seq, (U, phi0, btilde) = dp_solve(grad, u_old, levels, jump, tau, 6)
+    u_tmp, idx_tmp, phis = temporal_dp_solve(grad, u_old, levels, jump, tau, 6)
+    # Value tables agree (Φ_0 slice); paths have identical cost.
+    np.testing.assert_allclose(
+        np.asarray(phis[0]).T, np.asarray(phi0), rtol=1e-10
+    )
+    stage, bt = stage_tables(grad, u_old, levels, tau)
+    stage, bt, jc = np.asarray(stage), np.asarray(bt), np.asarray(jump)
+
+    def cost(idx):
+        c = sum(stage[i, idx[i]] for i in range(len(idx)))
+        c += sum(jc[idx[i], idx[i + 1]] for i in range(len(idx) - 1))
+        return c
+
+    np.testing.assert_allclose(
+        cost(np.asarray(idx_tmp)), cost(np.asarray(idx_seq)), rtol=1e-10
+    )
+
+
+def test_batched_trm_step_matches_sequential():
+    from mioc_tpu.models import LVMObj
+    from mioc_tpu.utils.init import rand_func
+
+    obj = LVMObj(nt=48)
+    mesh = make_device_mesh(batch=jax.device_count(), level=1)
+    step = make_ode_trm_step(obj, beta=1e-4, p=np.inf, delta0=2.0, mesh=mesh)
+    S = 2 * jax.device_count()
+    u0 = np.stack([rand_func(obj, seed=s) for s in range(S)])
+    u_new, J_new, _ = step(jnp.asarray(u0))
+    assert u_new.shape == (S, 48, 3)
+
+    # Per-scenario reference via the unbatched ops.
+    step1 = make_ode_trm_step(obj, beta=1e-4, p=np.inf, delta0=2.0, mesh=None)
+    u1, J1, _ = step1(jnp.asarray(u0))
+    np.testing.assert_allclose(np.asarray(J_new), np.asarray(J1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(u_new), np.asarray(u1))
+
+
+def test_multistart_solve_picks_best():
+    from mioc_tpu.models import LVMObj
+    from mioc_tpu.solvers.trm import TRMParameters
+
+    best, results = multistart_solve(
+        lambda: LVMObj(nt=200), 3, TRMParameters(), seed=0
+    )
+    assert best.J == min(r.J for r in results)
+    assert all(r.converged for r in results)
