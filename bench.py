@@ -69,21 +69,21 @@ def jax_dp_seconds():
     bt_fn = backtrack_pallas if use_pallas else backtrack
     build_fn = build_tables_pallas if use_pallas else build_tables
 
-    def dp(grad, u_old):
-        stage, btilde = stage_tables(grad, u_old, levels, tau)
+    # Time the DP exactly as the TRM dispatches it: table build, then path
+    # extraction, as separate jitted calls sharing the tables.
+    stage, btilde = stage_tables(grad, u_old, levels, tau)
+    U, phi0 = build_fn(stage, btilde, jump, B, smax)
+    bt_fn(U, phi0, btilde, levels, jnp.int32(B))[1].block_until_ready()  # warm
+
+    def once():
         U, phi0 = build_fn(stage, btilde, jump, B, smax)
         u, idx = bt_fn(U, phi0, btilde, levels, jnp.int32(B))
-        return u, phi0
-
-    dp_jit = jax.jit(dp)
-    u, phi0 = dp_jit(grad, u_old)  # compile + warm up
-    u.block_until_ready()
+        u.block_until_ready()
 
     best = float("inf")
-    for _ in range(5):
+    for _ in range(10):
         t0 = time.perf_counter()
-        u, phi0 = dp_jit(grad, u_old)
-        u.block_until_ready()
+        once()
         best = min(best, time.perf_counter() - t0)
     return best
 

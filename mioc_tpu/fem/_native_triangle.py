@@ -18,20 +18,44 @@ _LIB = None
 _TRIED = False
 
 
+def _build(src, path) -> bool:
+    """Compile the triangulator on first use if a C++ toolchain is around."""
+    import shutil
+    import subprocess
+
+    gxx = shutil.which("g++") or shutil.which("clang++")
+    if gxx is None:
+        return False
+    try:
+        subprocess.run(
+            [gxx, "-O2", "-shared", "-fPIC", "-std=c++17", "-o", path, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(path)
+    except Exception:
+        return False
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "native",
-        "libmioc_triangle.so",
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
     )
+    path = os.path.join(native_dir, "libmioc_triangle.so")
+    src = os.path.join(native_dir, "triangle.cpp")
+    if not os.path.exists(path) or (
+        os.path.exists(src) and os.path.getmtime(path) < os.path.getmtime(src)
+    ):
+        _build(src, path)
     if os.path.exists(path):
         try:
             lib = ctypes.CDLL(path)
-            lib.mioc_triangulate.restype = ctypes.c_int
+            lib.mioc_triangulate.restype = ctypes.c_longlong
             lib.mioc_triangulate.argtypes = [
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int,   # polygon
                 ctypes.c_double,                                  # max area

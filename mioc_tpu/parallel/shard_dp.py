@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 __all__ = ["build_tables_sharded"]
@@ -85,6 +85,6 @@ def build_tables_sharded(stage, btilde, jump_cost, B: int, smax: int, mesh):
         mesh=mesh,
         in_specs=(P(), P(), P(None, "level")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(stage, btilde, jump_cost)
