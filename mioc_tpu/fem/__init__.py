@@ -27,6 +27,7 @@ from .mesh import (
     triangle_mesh,
 )
 from .quadrature import quadrature_unit_triangle_area, quadrature_unit_triangle_bdry
+from .solve import FEM, fem_benchmark, plot_shape_functions, simple_test_FEM
 
 __all__ = [
     "Mesh", "mesh_library", "init_mesh", "refine_all_cells", "refine_adaptively",
@@ -36,4 +37,5 @@ __all__ = [
     "dofmap", "shape", "dirichlet_constraints", "local_dofs", "dof", "name",
     "area_integrator", "bdry_integrator", "affine_transformation",
     "quadrature_unit_triangle_area", "quadrature_unit_triangle_bdry",
+    "FEM", "simple_test_FEM", "fem_benchmark", "plot_shape_functions",
 ]

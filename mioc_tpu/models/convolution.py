@@ -80,6 +80,9 @@ class ConvObj(LazyObjective):
 
         K = _toeplitz(self.nt, tau, int_k)
 
+        # Device-resident operators, passed as explicit jit ARGUMENTS (a jit
+        # closure capturing device arrays degrades the axon runtime's dispatch
+        # latency permanently; see BASELINE_SELF.md).
         self.fvec = jnp.asarray(fvec, dtype=self.dtype)
         self.K = jnp.asarray(K, dtype=self.dtype)
         self.x = jnp.zeros((self.nt, 1), dtype=self.dtype)
@@ -89,27 +92,29 @@ class ConvObj(LazyObjective):
         diag = np.full(self.nt + 1, 2.0 * tau / 3.0)
         diag[0] = diag[-1] = tau / 3.0
         self._Mdiag = jnp.asarray(diag, dtype=self.dtype)
-        self._Moff = tau / 6.0
+        moff = tau / 6.0
 
-        def mass_mv(v):
-            out = self._Mdiag * v
-            out = out.at[:-1].add(self._Moff * v[1:])
-            out = out.at[1:].add(self._Moff * v[:-1])
+        def mass_mv(mdiag, v):
+            out = mdiag * v
+            out = out.at[:-1].add(moff * v[1:])
+            out = out.at[1:].add(moff * v[:-1])
             return out
 
-        def f_fn(x):
-            v = self.K @ x[:, 0] - self.fvec
-            return 0.5 * jnp.dot(v, mass_mv(v))
+        @jax.jit
+        def f_fn(x, K, fvec, mdiag):
+            v = K @ x[:, 0] - fvec
+            return 0.5 * jnp.dot(v, mass_mv(mdiag, v))
 
-        def df_fn(x):
-            v = self.K @ x[:, 0] - self.fvec
-            return (self.K.T @ mass_mv(v))[:, None]
+        @jax.jit
+        def df_fn(x, K, fvec, mdiag):
+            v = K @ x[:, 0] - fvec
+            return (K.T @ mass_mv(mdiag, v))[:, None]
 
-        self._f_fn = jax.jit(f_fn)
-        self._df_fn = jax.jit(df_fn)
+        self._f_fn = f_fn
+        self._df_fn = df_fn
 
     def eval_f_impl(self, x, cache: bool):
-        return self._f_fn(x), None
+        return self._f_fn(x, self.K, self.fvec, self._Mdiag), None
 
     def eval_df_impl(self):
-        return self._df_fn(self.x)
+        return self._df_fn(self.x, self.K, self.fvec, self._Mdiag)

@@ -8,6 +8,7 @@ dynamics (state must stay nonnegative), SOS1 inflow modes, tracking objective
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..objectives.ode import ODEObjective
 from ..ops.levels import bounded_sum_levels
@@ -19,7 +20,7 @@ class DTMObj(ODEObjective):
     def __init__(self, nt: int = 1000, *, k1=2.0, k2=3.0, c=(1.0, 0.5, 2.0),
                  state0=(2.0, 2.0), dtype=None):
         self.k1, self.k2 = float(k1), float(k2)
-        self.c = jnp.asarray(c, dtype=dtype)
+        self.c = np.asarray(c, dtype=dtype)  # numpy: baked as jit literal
         V = [[0, 1], [0, 1], [0, 1]]
         adm = bounded_sum_levels(V, 1, 1)
         super().__init__(

@@ -7,6 +7,7 @@ SOS1 controls select a fishing mode; tracking objective ½‖y − 1‖².
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..objectives.ode import ODEObjective
 from ..ops.levels import bounded_sum_levels
@@ -33,8 +34,9 @@ class LVMObj(ODEObjective):
         self.alpha, self.beta = float(alpha), float(beta)
         self.gamma, self.delta = float(gamma), float(delta)
         self.c1, self.c2 = float(c1), float(c2)
-        self.v1 = jnp.asarray(v1, dtype=dtype)
-        self.v2 = jnp.asarray(v2, dtype=dtype)
+        # numpy: baked as jit literals (no captured device consts).
+        self.v1 = np.asarray(v1, dtype=dtype)
+        self.v2 = np.asarray(v2, dtype=dtype)
         V = [[0, 1], [0, 1], [0, 1]]
         # Exactly one active control at each timestep (example_fishing.jl:24).
         adm = bounded_sum_levels(V, 1, 1)

@@ -45,6 +45,10 @@ def construct_mesh(hmax=1.0, refinements=3):
 
 
 class HeatObj(PDEObjective):
+    # Device arrays read by the cost hooks — threaded into the jitted sweeps
+    # as arguments (see PDEObjective._ops).
+    _extra_op_names = ("_Mj", "yd")
+
     def __init__(
         self,
         nt: int = 500,

@@ -9,6 +9,7 @@ rejected steps by the TRM.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..objectives.ode import ODEObjective
 from ..ops.levels import bounded_sum_levels
@@ -19,7 +20,7 @@ __all__ = ["VPOObj"]
 class VPOObj(ODEObjective):
     def __init__(self, nt: int = 2000, *, c=(-1.0, 0.75, -2.0), state0=(1.0, 0.0),
                  dtype=None):
-        self.c = jnp.asarray(c, dtype=dtype)
+        self.c = np.asarray(c, dtype=dtype)  # numpy: baked as jit literal
         V = [[0, 1], [0, 1], [0, 1]]
         adm = bounded_sum_levels(V, 1, 1)
         super().__init__(

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .base import LazyObjective
@@ -56,7 +57,11 @@ class ODEObjective(LazyObjective):
         self.nu = int(nu)
         self.nv = len(V) if V is not None else 0
         self.dtype = dtype or jnp.result_type(float)
-        self.state0 = jnp.asarray(state0, dtype=self.dtype)
+        # NOTE: constants captured by the jitted sweeps are kept as NUMPY
+        # arrays (baked into the program as literals).  Capturing device
+        # arrays in a jit closure permanently degrades dispatch latency on
+        # the axon TPU runtime (see BASELINE_SELF.md).
+        self.state0 = np.asarray(state0, dtype=self.dtype)
         self.ny = self.state0.shape[0]
         self.x = jnp.zeros((self.nt, self.nx), dtype=self.dtype)
         self.state = None    # (nt, ny): y_1 … y_nt  (reference obj.state)

@@ -36,6 +36,8 @@ Objective quadrature (``eval_f_helper``, :142-156)::
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -98,8 +100,11 @@ class PDEObjective(LazyObjective):
         self.M = Mc
         self.A = A
         self.F = np.asarray(F)
-        self.state0 = jnp.asarray(state0, dtype=self.dtype)
-        self.M_invA = jnp.asarray(M_invA, dtype=self.dtype)
+        self.state0 = np.asarray(state0, dtype=self.dtype)
+        self.M_invA = np.asarray(M_invA, dtype=self.dtype)
+        # Device-resident sweep operators: passed to the jitted sweeps as
+        # explicit ARGUMENTS, never captured in closures (captured device
+        # consts permanently degrade dispatch on the axon runtime).
         self.M_invF = jnp.asarray(M_invF, dtype=self.dtype)
         self.Sinv = jnp.asarray(Sinv, dtype=self.dtype)
         self._build()
@@ -117,55 +122,92 @@ class PDEObjective(LazyObjective):
     def Gu(self, u, i):
         return jax.grad(lambda uu: self.G_t(uu, i))(u)
 
+    # -- device-operator plumbing ---------------------------------------------
+    # Subclasses append the names of any device arrays their cost hooks read
+    # (e.g. a mass matrix); those are threaded into the jitted sweeps as
+    # arguments and temporarily bound onto `self` during tracing.
+    _extra_op_names: tuple = ()
+
+    @property
+    def _ops(self):
+        ops = {"Sinv": self.Sinv, "M_invF": self.M_invF}
+        for k in self._extra_op_names:
+            ops[k] = getattr(self, k)
+        return ops
+
+    @contextmanager
+    def _bound(self, ops):
+        old = {k: getattr(self, k) for k in ops}
+        for k, v in ops.items():
+            setattr(self, k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                setattr(self, k, v)
+
     # -- compiled sweeps -------------------------------------------------------
     def _build(self):
         tau, nt = self.tau, self.nt
-        Sinv, M_invF = self.Sinv, self.M_invF
 
-        def forward(x):
-            def step(y, u):
-                ynew = Sinv @ (y + tau * (M_invF @ u))
-                return ynew, ynew
+        @jax.jit
+        def forward(x, ops):
+            with self._bound(ops):
+                Sinv, M_invF = ops["Sinv"], ops["M_invF"]
 
-            _, ys = lax.scan(step, self.state0, x)  # ys[k-1] = y_k
-            ys_all = jnp.concatenate([self.state0[None], ys])  # (nt+1, N)
+                def step(y, u):
+                    ynew = Sinv @ (y + tau * (M_invF @ u))
+                    return ynew, ynew
 
-            u_idx = jnp.minimum(jnp.arange(nt + 1), nt - 1)
-            gvals = jax.vmap(
-                lambda y, ui, ti: self.G(y, x[ui], ti) + self.G_t(x[ui], ti)
-            )(ys_all, u_idx, jnp.arange(nt + 1))
-            w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
-            return tau * jnp.sum(w * gvals), ys_all
+                _, ys = lax.scan(step, jnp.asarray(self.state0), x)
+                ys_all = jnp.concatenate([self.state0[None], ys])  # (nt+1, N)
 
-        def adjoint(x, ys_all):
-            SinvT = Sinv.T
-            lamT = jnp.zeros(self.Nglobal_dofs, self.dtype)
+                u_idx = jnp.minimum(jnp.arange(nt + 1), nt - 1)
+                gvals = jax.vmap(
+                    lambda y, ui, ti: self.G(y, x[ui], ti) + self.G_t(x[ui], ti)
+                )(ys_all, u_idx, jnp.arange(nt + 1))
+                w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
+                return tau * jnp.sum(w * gvals), ys_all
 
-            def bstep(lam, xs):
-                y_next, u_next, w_next, k = xs
-                newlam = SinvT @ (lam + tau * w_next * self.Gy(y_next, u_next, k))
-                return newlam, newlam
+        @jax.jit
+        def adjoint(x, ys_all, ops):
+            with self._bound(ops):
+                Sinv, M_invF = ops["Sinv"], ops["M_invF"]
+                SinvT = Sinv.T
+                lamT = jnp.zeros(self.Nglobal_dofs, self.dtype)
 
-            # Exact discrete adjoint: sweep j = nt-1 … 0 with the (j+1)-th
-            # state/control and trapezoid weight (see module docstring).
-            k_next = jnp.arange(1, nt + 1)
-            w_next = jnp.where(k_next == nt, 0.5, 1.0).astype(self.dtype)
-            u_next = x[jnp.minimum(k_next, nt - 1)]
-            xs = (ys_all[1:][::-1], u_next[::-1], w_next[::-1], k_next[::-1])
-            _, lams_rev = lax.scan(bstep, lamT, xs)
-            lam = lams_rev[::-1]  # (nt, N): λ_0-based columns 0 … nt-1
+                def bstep(lam, xs):
+                    y_next, u_next, w_next, k = xs
+                    newlam = SinvT @ (lam + tau * w_next * self.Gy(y_next, u_next, k))
+                    return newlam, newlam
 
-            df = lam @ M_invF  # (nt, nx): (M⁻¹F)ᵀ λ_j rowwise
-            gu = jax.vmap(self.Gu)(x, jnp.arange(nt))
-            # G_t weight per control column: u_j appears in g_j (weight w_j)
-            # and u_{nt-1} additionally in g_nt (weight ½).
-            cj = jnp.ones((nt, 1), self.dtype).at[0, 0].set(0.5).at[-1, 0].set(1.5)
-            if self.compat_skip_first_gu:
-                cj = cj.at[0, 0].set(0.0)  # reference (PDEObjective.jl:192-197)
-            return df + cj * gu, lam
+                # Exact discrete adjoint: sweep j = nt-1 … 0 with the (j+1)-th
+                # state/control and trapezoid weight (see module docstring).
+                k_next = jnp.arange(1, nt + 1)
+                w_next = jnp.where(k_next == nt, 0.5, 1.0).astype(self.dtype)
+                u_next = x[jnp.minimum(k_next, nt - 1)]
+                xs = (ys_all[1:][::-1], u_next[::-1], w_next[::-1], k_next[::-1])
+                _, lams_rev = lax.scan(bstep, lamT, xs)
+                lam = lams_rev[::-1]  # (nt, N): λ_0-based columns 0 … nt-1
 
-        self._forward = jax.jit(forward)
-        self._adjoint = jax.jit(adjoint)
+                df = lam @ M_invF  # (nt, nx): (M⁻¹F)ᵀ λ_j rowwise
+                gu = jax.vmap(self.Gu)(x, jnp.arange(nt))
+                # G_t weight per control column: u_j appears in g_j (weight
+                # w_j) and u_{nt-1} additionally in g_nt (weight ½).
+                cj = jnp.ones((nt, 1), self.dtype).at[0, 0].set(0.5).at[-1, 0].set(1.5)
+                if self.compat_skip_first_gu:
+                    cj = cj.at[0, 0].set(0.0)  # reference (PDEObjective.jl:192-197)
+                return df + cj * gu, lam
+
+        self._forward_ops = forward
+        self._adjoint_ops = adjoint
+
+    # Uniform sweep API used by solvers/parallel code.
+    def _forward(self, x):
+        return self._forward_ops(x, self._ops)
+
+    def _adjoint(self, x, ys_all):
+        return self._adjoint_ops(x, ys_all, self._ops)
 
     # -- protocol hooks --------------------------------------------------------
     def eval_f_impl(self, x, cache: bool):

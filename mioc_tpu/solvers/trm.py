@@ -62,6 +62,8 @@ class TRMParameters:
     use_pallas: Optional[bool] = None  # fused DP kernel (None: auto on TPU)
     metrics_path: Optional[str] = None  # jsonl per-iteration metrics
     checkpoint_path: Optional[str] = None  # npz snapshot per outer iteration
+    resume_from: Optional[str] = None   # restart from a checkpoint npz
+    profile_dir: Optional[str] = None   # jax.profiler trace output directory
 
 
 @dataclass
@@ -96,6 +98,10 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
         jump_cost_table(adm.levels, par.p, beta=par.beta, compat_pinf=par.compat_pinf)
     )
 
+    if x0 is None and par.resume_from:
+        from ..utils.io import load_checkpoint
+
+        x0 = load_checkpoint(par.resume_from)["u"]
     if x0 is None:
         x0 = rand_func(obj, seed=seed)
     obj.x = jnp.asarray(x0, dtype=getattr(obj, "dtype", None))
@@ -127,6 +133,13 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
     inner_total = 0
     dp_builds = 0
     u = u_old
+
+    profiler = None
+    if par.profile_dir:
+        import jax.profiler as _jprof
+
+        profiler = _jprof.trace(par.profile_dir)
+        profiler.__enter__()
 
     while not stop and iteration <= par.maxiter:
         delta_k = par.delta0
@@ -224,6 +237,9 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
                 tv=TV_old,
             )
         iteration += 1
+
+    if profiler is not None:
+        profiler.__exit__(None, None, None)
 
     # Final gradient for reporting/plotting (multi-trust.jl:166-167).
     timed("df", obj.eval_df_)
