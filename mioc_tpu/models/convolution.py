@@ -42,6 +42,25 @@ def gauss_legendre5(f, a, b):
     return (b - a) / 2 * np.dot(w, np.vectorize(f)(y))
 
 
+def _mass_mv(mdiag, moff, v):
+    out = mdiag * v
+    out = out.at[:-1].add(moff * v[1:])
+    out = out.at[1:].add(moff * v[:-1])
+    return out
+
+
+@jax.jit
+def _conv_f(x, K, fvec, mdiag, moff):
+    v = K @ x[:, 0] - fvec
+    return 0.5 * jnp.dot(v, _mass_mv(mdiag, moff, v))
+
+
+@jax.jit
+def _conv_df(x, K, fvec, mdiag, moff):
+    v = K @ x[:, 0] - fvec
+    return (K.T @ _mass_mv(mdiag, moff, v))[:, None]
+
+
 def _toeplitz(nt, tau, int_k):
     """Kernel-integral Toeplitz matrix, ``example_convolution.jl:104-125``:
     ``K[r, c] = ∫ k`` over one grid cell at lag ``d = r − c ≥ 1`` (0-based)."""
@@ -92,29 +111,20 @@ class ConvObj(LazyObjective):
         diag = np.full(self.nt + 1, 2.0 * tau / 3.0)
         diag[0] = diag[-1] = tau / 3.0
         self._Mdiag = jnp.asarray(diag, dtype=self.dtype)
-        moff = tau / 6.0
+        self._Moff = jnp.asarray(tau / 6.0, dtype=self.dtype)
 
-        def mass_mv(mdiag, v):
-            out = mdiag * v
-            out = out.at[:-1].add(moff * v[1:])
-            out = out.at[1:].add(moff * v[:-1])
-            return out
-
-        @jax.jit
-        def f_fn(x, K, fvec, mdiag):
-            v = K @ x[:, 0] - fvec
-            return 0.5 * jnp.dot(v, mass_mv(mdiag, v))
-
-        @jax.jit
-        def df_fn(x, K, fvec, mdiag):
-            v = K @ x[:, 0] - fvec
-            return (K.T @ mass_mv(mdiag, v))[:, None]
-
-        self._f_fn = f_fn
-        self._df_fn = df_fn
+    def _args(self):
+        return self.K, self.fvec, self._Mdiag, self._Moff
 
     def eval_f_impl(self, x, cache: bool):
-        return self._f_fn(x, self.K, self.fvec, self._Mdiag), None
+        return _conv_f(x, *self._args()), None
 
     def eval_df_impl(self):
-        return self._df_fn(self.x, self.K, self.fvec, self._Mdiag)
+        return _conv_df(self.x, *self._args())
+
+    # Pure sweep API for batched/parallel drivers.
+    def _forward(self, x):
+        return _conv_f(x, *self._args()), None
+
+    def _adjoint(self, x, aux):
+        return _conv_df(x, *self._args()), None

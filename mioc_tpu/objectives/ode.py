@@ -38,6 +38,32 @@ from .base import LazyObjective
 
 __all__ = ["ODEObjective"]
 
+# Compiled sweeps are cached per (class, parameter signature): constructing a
+# second instance with the same configuration reuses the jitted forward and
+# adjoint instead of re-tracing/re-compiling (compiles cost minutes through
+# the axon remote-compile tunnel).
+_SWEEP_CACHE: dict = {}
+
+_NONPARAM_FIELDS = {
+    "x", "state", "adjoint", "df", "f", "df_valid", "f_evals", "df_evals",
+    "fdf_evals", "V", "admissible", "_aux", "_forward", "_adjoint",
+    "_forward_ops", "_adjoint_ops", "mesh", "fe",
+}
+
+
+def _params_key(obj) -> tuple:
+    items = []
+    for k, v in sorted(obj.__dict__.items()):
+        if k in _NONPARAM_FIELDS:
+            continue
+        if isinstance(v, (bool, int, float, str)):
+            items.append((k, v))
+        elif isinstance(v, np.ndarray):
+            items.append((k, v.dtype.str, v.shape, v.tobytes()))
+        elif isinstance(v, np.dtype) or v is None:
+            items.append((k, str(v)))
+    return tuple(items)
+
 
 class ODEObjective(LazyObjective):
     """Abstract ODE objective.  Subclasses set dimensions and implement
@@ -90,6 +116,12 @@ class ODEObjective(LazyObjective):
 
     # -- compiled sweeps -------------------------------------------------------
     def _build(self):
+        key = (type(self), _params_key(self))
+        cached = _SWEEP_CACHE.get(key)
+        if cached is not None:
+            self._forward, self._adjoint = cached
+            return
+
         tau, nt = self.tau, self.nt
 
         def forward(x):
@@ -138,6 +170,7 @@ class ODEObjective(LazyObjective):
 
         self._forward = jax.jit(forward)
         self._adjoint = jax.jit(adjoint)
+        _SWEEP_CACHE[key] = (self._forward, self._adjoint)
 
     # -- protocol hooks --------------------------------------------------------
     def eval_f_impl(self, x, cache: bool):

@@ -148,6 +148,14 @@ class PDEObjective(LazyObjective):
 
     # -- compiled sweeps -------------------------------------------------------
     def _build(self):
+        from .ode import _SWEEP_CACHE, _params_key
+
+        key = ("pde", type(self), _params_key(self))
+        cached = _SWEEP_CACHE.get(key)
+        if cached is not None:
+            self._forward_ops, self._adjoint_ops = cached
+            return
+
         tau, nt = self.tau, self.nt
 
         @jax.jit
@@ -201,6 +209,7 @@ class PDEObjective(LazyObjective):
 
         self._forward_ops = forward
         self._adjoint_ops = adjoint
+        _SWEEP_CACHE[key] = (forward, adjoint)
 
     # Uniform sweep API used by solvers/parallel code.
     def _forward(self, x):

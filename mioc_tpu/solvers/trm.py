@@ -64,6 +64,7 @@ class TRMParameters:
     checkpoint_path: Optional[str] = None  # npz snapshot per outer iteration
     resume_from: Optional[str] = None   # restart from a checkpoint npz
     profile_dir: Optional[str] = None   # jax.profiler trace output directory
+    debug_checks: bool = False          # assert admissibility + budget per step
 
 
 @dataclass
@@ -169,6 +170,12 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
                 u, _ = timed(
                     "backtrack", dp_backtrack, U, phi0, btilde, levels, jnp.int32(B)
                 )
+
+            if par.debug_checks:
+                from ..utils.checks import assert_admissible, check_budget
+
+                assert_admissible(u, adm)
+                check_budget(u, u_old, B if not halved else B_new)
 
             # pred / ared (multi-trust.jl:117-127)
             int_val = dt * float(jnp.sum(grad * (u_old - u)))

@@ -133,3 +133,41 @@ def test_cli_unknown_problem():
 
     with pytest.raises(SystemExit):
         main(["nonexistent"])
+
+
+def test_aao_objective_protocol():
+    """All-at-once evaluation protocol (AbstractObjectiveAAO, :15-59)."""
+    from mioc_tpu.objectives.base import AAOObjective
+
+    class Q(AAOObjective):
+        def __init__(self):
+            super().__init__()
+            self.nt, self.nu, self.nv = 4, 1, 0
+            self.T0, self.T1, self.tau = 0.0, 1.0, 0.25
+            self.x = jnp.ones((4, 1))
+
+        def eval_fdf_impl(self, x, want_df):
+            f = 0.5 * float(jnp.sum(x**2))
+            return f, (x if want_df else None)
+
+    q = Q()
+    f = q.eval_fdf_()
+    assert f == 2.0 and q.df_valid and q.fdf_evals == 1
+    q.eval_df_()  # cached
+    assert q.fdf_evals == 1
+    assert q.eval_f(np.zeros((4, 1))) == 0.0
+
+
+def test_debug_checks_and_nan_guard():
+    from mioc_tpu.models import LVMObj
+    from mioc_tpu.solvers.trm import TRMParameters, trm_solve
+    from mioc_tpu.utils.checks import assert_admissible, check_budget
+
+    obj = LVMObj(nt=80)
+    res = trm_solve(obj, TRMParameters(debug_checks=True), seed=0)
+    assert res.converged
+    assert_admissible(res.u, obj.admissible)
+    with pytest.raises(AssertionError):
+        assert_admissible(np.full((5, 3), 0.5), obj.admissible)
+    with pytest.raises(AssertionError):
+        check_budget(np.ones((4, 3)), np.zeros((4, 3)), B=2)
