@@ -63,6 +63,7 @@ __all__ = [
 _INF = jnp.inf
 
 
+@jax.jit
 def stage_tables(grad, u_old, levels, tau):
     """Per-(time, combination) stage cost and budget use.
 

@@ -6,9 +6,20 @@ Controls here are time-major: ``u`` has shape ``(nt, M)``.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 __all__ = ["tv_p"]
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _tv(u, p: float):
+    d = jnp.abs(u[1:] - u[:-1])  # (nt-1, M)
+    if p == float("inf"):
+        return d.max(axis=-1).sum()
+    return ((d**p).sum(axis=-1) ** (1.0 / p)).sum()
 
 
 def tv_p(u, p) -> jnp.ndarray:
@@ -18,14 +29,13 @@ def tv_p(u, p) -> jnp.ndarray:
     correctly here, ``HelpFunctions.jl:255-258``, even though its DP jump cost
     for ``p = inf`` does not).  ``u is None`` (no integer control) returns 0
     like the ``Nothing`` overload (``HelpFunctions.jl:271-273``).
+
+    Jitted (static ``p``): eager op dispatch degrades the axon TPU runtime
+    (see BASELINE_SELF.md), so even this small functional runs compiled.
     """
     if u is None:
         return jnp.asarray(0.0)
-    u = jnp.asarray(u)
-    d = jnp.abs(u[1:] - u[:-1])  # (nt-1, M)
-    p = float(p)  # the norm parameter is static (jit-branch on host)
-    if p == float("inf"):
-        return d.max(axis=-1).sum()
-    if p > 0:
-        return ((d**p).sum(axis=-1) ** (1.0 / p)).sum()
-    raise ValueError("Only positive p (or inf) are accepted.")
+    p = float(p)
+    if not (p > 0) and p != float("inf"):
+        raise ValueError("Only positive p (or inf) are accepted.")
+    return _tv(jnp.asarray(u), p)

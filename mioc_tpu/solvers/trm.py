@@ -33,6 +33,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +46,18 @@ from ..utils.init import rand_func
 from ..utils.logging import IterationLog
 
 __all__ = ["TRMParameters", "TRMResult", "trm_solve", "TRM"]
+
+
+# Small reductions used by the host loop, jitted: eager op dispatch degrades
+# the axon TPU runtime permanently (BASELINE_SELF.md).
+@jax.jit
+def _inner_product(grad, a, b):
+    return jnp.sum(grad * (a - b))
+
+
+@jax.jit
+def _differs(a, b):
+    return jnp.any(a != b)
 
 
 @dataclass
@@ -164,7 +177,7 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
                 t0 = time.perf_counter()
                 stage, btilde = stage_tables(grad, u_old, levels, dt)
                 U, phi0 = dp_build(stage, btilde, jump, B, smax)
-                jnp.asarray(phi0).block_until_ready()
+                phi0.block_until_ready()
                 timers["dp"] += time.perf_counter() - t0
                 dp_builds += 1
                 u, _ = timed(
@@ -178,7 +191,7 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
                 check_budget(u, u_old, B if not halved else B_new)
 
             # pred / ared (multi-trust.jl:117-127)
-            int_val = dt * float(jnp.sum(grad * (u_old - u)))
+            int_val = dt * float(_inner_product(grad, u_old, u))
             TV_new = float(tv_p(u, par.p))
             obj.x = u
             J_new = timed("f", obj.eval_f_)
@@ -211,7 +224,7 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
                         "good step")
             k += 1
 
-        if not stop and bool(jnp.any(u != u_old)):
+        if not stop and bool(_differs(u, u_old)):
             # kmax exhausted with a rejected candidate: restore the accepted
             # iterate before the next gradient (divergence from the reference,
             # which differentiates at the rejected candidate; see module doc).
