@@ -58,6 +58,9 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None, help="npz checkpoint path")
     ap.add_argument("--multistart", type=int, default=1,
                     help="number of random restarts (best result kept)")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="run the whole TRM inside one jit (no per-step host "
+                         "sync; batches multistart with vmap)")
     args = ap.parse_args(argv)
 
     from .solvers.trm import TRMParameters, trm_solve
@@ -75,7 +78,35 @@ def main(argv=None):
     )
 
     t0 = time.time()
-    if args.multistart > 1:
+    if args.device_loop:
+        import numpy as _np
+
+        from .solvers.trm_device import multistart_solve_device, trm_solve_device
+        from .utils.init import rand_func
+
+        obj = build_objective(args.problem, args.n)
+        if args.multistart > 1:
+            x0s = _np.stack(
+                [rand_func(obj, seed=(args.seed or 0) + s)
+                 for s in range(args.multistart)]
+            )
+            batch = multistart_solve_device(obj, par, x0s)
+            best = int(_np.argmin(batch.J))
+            dev = type(batch)(*[leaf[best] for leaf in batch])
+        else:
+            dev = trm_solve_device(obj, par, seed=args.seed)
+        from .solvers.trm import TRMResult
+
+        res = TRMResult(
+            J=float(dev.J), u=_np.asarray(dev.u), x_final=_np.asarray(dev.x_final),
+            converged=bool(dev.converged), iterations=int(dev.iterations),
+            inner_steps=int(dev.inner_steps), f_evals=int(dev.f_evals),
+            df_evals=int(dev.iterations), tv=float(dev.tv), f=float(dev.f),
+            dp_builds=int(dev.iterations), timings={},
+        )
+        obj.x = dev.x_final  # for plotting parity with the reference
+        obj.eval_fdf_()
+    elif args.multistart > 1:
         from .parallel import multistart_solve
 
         res, _ = multistart_solve(

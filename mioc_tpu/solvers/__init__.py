@@ -1,6 +1,10 @@
 from .trm import TRM, TRMParameters, TRMResult, trm_solve
+from .trm_device import make_device_trm, multistart_solve_device, trm_solve_device
 
 __all__ = [
+    "make_device_trm",
+    "multistart_solve_device",
+    "trm_solve_device",
     "TRM",
     "TRMParameters",
     "TRMResult",

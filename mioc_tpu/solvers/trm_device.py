@@ -1,0 +1,220 @@
+"""Device-resident TRM: the whole trust-region loop inside one jit.
+
+The host-driven loop (:mod:`.trm`) reads the trial objective back to Python
+every inner step.  On TPU that synchronization is pure overhead (and on the
+axon runtime any device→host readback permanently degrades dispatch latency —
+BASELINE_SELF.md), so this variant runs the ENTIRE outer/inner accept-halve
+loop as ``lax.while_loop``s on the device: one dispatch and one readback per
+solve.  It is also the enabling form for batched multistart
+(``jax.vmap`` over starting controls — see :func:`multistart_solve_device`).
+
+Semantics are identical to :func:`mioc_tpu.solvers.trm.trm_solve` (same
+accept/halve/certificate logic, same divergences from the Julia reference) —
+verified element-for-element against the host loop in ``tests/test_trm_device.py``.
+Iteration logging is not available inside the device loop.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.backtrack_pallas import backtrack_pallas
+from ..ops.bellman import backtrack, build_tables, max_budget_use, stage_tables
+from ..ops.bellman_pallas import build_tables_pallas, pallas_supported
+from ..ops.levels import jump_cost_table
+from ..ops.tv import _tv
+from ..utils.init import rand_func
+
+__all__ = ["make_device_trm", "trm_solve_device", "multistart_solve_device"]
+
+
+class DeviceTRMResult(NamedTuple):
+    u: jnp.ndarray         # accepted control (nt, nx)
+    x_final: jnp.ndarray   # last candidate iterate (reference's obj.x)
+    J: jnp.ndarray         # f + β·TV at the reference's return convention
+    f: jnp.ndarray         # smooth objective at the accepted control
+    tv: jnp.ndarray        # TV_p of the accepted control
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    inner_steps: jnp.ndarray
+    f_evals: jnp.ndarray
+
+
+def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
+    """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
+    parameters ``par`` (a TRMParameters).  The returned function contains the
+    full TRM; vmap it for batched multistart (``use_pallas=False`` there —
+    the fused kernels are not batched)."""
+    adm = obj.admissible
+    if adm is None or adm.L == 0:
+        raise ValueError("Objective has no admissible integer level combinations.")
+    dt = obj.tau
+    beta, sigma, p = float(par.beta), float(par.sigma), float(par.p)
+    kmax, maxiter = int(par.kmax), int(par.maxiter)
+    delta0 = float(par.delta0)
+    B = int(math.floor(delta0 / dt))
+    smax = max_budget_use(adm.levels)
+    levels_np = np.asarray(adm.levels)
+    jump_np = jump_cost_table(levels_np, p, beta=beta, compat_pinf=par.compat_pinf)
+    if use_pallas is None:
+        use_pallas = par.use_pallas if par.use_pallas is not None else pallas_supported()
+    dp_build = build_tables_pallas if use_pallas else build_tables
+    dp_backtrack = backtrack_pallas if use_pallas else backtrack
+
+    forward, adjoint = obj._forward, obj._adjoint
+
+    def solve(x0, levels, jump):
+        x0 = x0.astype(levels.dtype)
+        f0, ys0 = forward(x0)
+        # Objectives without a state cache (e.g. ConvObj) return aux None;
+        # the while-loop carry needs an array, so substitute a dummy.
+        if ys0 is None:
+            fwd = lambda u: (forward(u)[0], jnp.zeros((1,), x0.dtype))
+            adj = lambda u, ys: adjoint(u, None)
+            ys0 = jnp.zeros((1,), x0.dtype)
+        else:
+            fwd, adj = forward, adjoint
+        tv0 = _tv(x0, p)
+
+        # Outer carry:
+        #   u_old, ys_old (state cache at u_old), J_old, TV_old, u_cand,
+        #   J_ret, stop, it, inner_total, f_evals
+        def outer_cond(c):
+            (_, _, _, _, _, _, stop, it, _, _) = c
+            return (~stop) & (it <= maxiter)
+
+        def outer_body(c):
+            (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
+             f_evals) = c
+            grad, _ = adj(u_old, ys_old)
+            stage, btilde = stage_tables(grad, u_old, levels, dt)
+            U, phi0 = dp_build(stage, btilde, jump, B, smax)
+
+            # Inner carry: k, delta, ared, pred, done, accepted state…
+            def inner_cond(t):
+                (k, _, ared, pred, done, *_) = t
+                return (~done) & (ared < sigma * pred) & (k <= kmax)
+
+            def inner_body(t):
+                (k, delta, ared, pred, done, u_old, ys_old, J_old, TV_old,
+                 u_cand, J_ret, stop, inner_total, f_evals) = t
+                B_k = jnp.floor(delta / dt).astype(jnp.int32)
+                u, _ = dp_backtrack(U, phi0, btilde, levels, B_k)
+                int_val = dt * jnp.sum(grad * (u_old - u))
+                TV_new = _tv(u, p)
+                J_new, ys_new = fwd(u)
+                f_evals = f_evals + 1
+                inner_total = inner_total + 1
+
+                pred_n = int_val + beta * (TV_old - TV_new)
+                ared_n = jnp.where(
+                    jnp.isfinite(J_new),
+                    J_old - J_new + beta * (TV_old - TV_new),
+                    -jnp.inf,
+                )
+
+                optimal = pred_n <= 0            # stationarity certificate
+                good = (~optimal) & (ared_n >= sigma * pred_n)
+
+                # Accept on good step (multi-trust.jl:148-157).
+                u_old_n = jnp.where(good, u, u_old)
+                ys_old_n = jnp.where(good, ys_new, ys_old)
+                J_old_n = jnp.where(good, J_new, J_old)
+                TV_old_n = jnp.where(good, TV_new, TV_old)
+                # Candidate iterate (the reference's obj.x) is always u.
+                delta_n = jnp.where(good | optimal, delta, delta / 2.0)
+                stop_n = stop | optimal
+                J_ret_n = jnp.where(optimal, J_old, jnp.where(good, J_new, J_ret))
+                done_n = done | optimal | good
+                return (k + 1, delta_n, ared_n, pred_n, done_n, u_old_n,
+                        ys_old_n, J_old_n, TV_old_n, u, J_ret_n, stop_n,
+                        inner_total, f_evals)
+
+            t0 = (jnp.int32(1), jnp.asarray(delta0, u_old.dtype),
+                  jnp.asarray(0.0, u_old.dtype), jnp.asarray(1.0, u_old.dtype),
+                  jnp.bool_(False), u_old, ys_old, J_old, TV_old, u_cand,
+                  J_ret, stop, inner_total, f_evals)
+            (k, _, ared, pred, done, u_old, ys_old, J_old, TV_old, u_cand,
+             J_ret, stop, inner_total, f_evals) = jax.lax.while_loop(
+                inner_cond, inner_body, t0
+            )
+            return (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it + 1,
+                    inner_total, f_evals)
+
+        c0 = (x0, ys0, f0, tv0, x0, f0, jnp.bool_(False), jnp.int32(1),
+              jnp.int32(0), jnp.int32(1))
+        (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
+         f_evals) = jax.lax.while_loop(outer_cond, outer_body, c0)
+
+        # Reference return convention: J_accepted + β·TV(final candidate)
+        # (multi-trust.jl:169 evaluates TV on obj.x, the last DP candidate).
+        return DeviceTRMResult(
+            u=u_old,
+            x_final=u_cand,
+            J=J_ret + beta * _tv(u_cand, p),
+            f=J_old,
+            tv=TV_old,
+            converged=stop,
+            iterations=it - 1,
+            inner_steps=inner_total,
+            f_evals=f_evals,
+        )
+
+    solve_jit = jax.jit(solve)
+    levels = jnp.asarray(levels_np, dtype=getattr(obj, "dtype", None))
+    jump = jnp.asarray(jump_np, dtype=levels.dtype)
+
+    def run(x0):
+        return solve_jit(jnp.asarray(x0, dtype=levels.dtype), levels, jump)
+
+    run.raw = solve_jit
+    run.operands = (levels, jump)
+    return run
+
+
+def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None):
+    """One device-resident TRM solve; returns a host-side summary dict plus
+    the accepted control (single readback at the end)."""
+    from .trm import TRMParameters
+
+    par = par or TRMParameters()
+    if x0 is None:
+        x0 = rand_func(obj, seed=seed)
+    run = make_device_trm(obj, par)
+    res = run(x0)
+    res = jax.device_get(res)
+    return res
+
+
+def multistart_solve_device(obj, par, x0s, mesh=None):
+    """Batched multistart: vmap the device TRM over ``x0s (S, nt, nx)``;
+    every start runs its own accept/halve schedule in lockstep hardware.
+    Returns the vmapped DeviceTRMResult (one readback).  Uses the XLA-scan DP
+    path — the fused Pallas kernels don't support being vmapped.
+
+    With a device ``mesh`` the start axis is sharded over its ``batch`` axis
+    (scenario data parallelism across chips)."""
+    run = make_device_trm(obj, par, use_pallas=False)
+    levels, jump = run.operands
+    vm = jax.vmap(run.raw, in_axes=(0, None, None))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("batch"))
+        rep = NamedSharding(mesh, P())
+        batched = jax.jit(
+            vm,
+            in_shardings=(sh, rep, rep),
+            out_shardings=DeviceTRMResult(*([sh] * 9)),
+        )
+    else:
+        batched = jax.jit(vm)
+    return jax.device_get(
+        batched(jnp.asarray(x0s, dtype=levels.dtype), levels, jump)
+    )

@@ -1,0 +1,58 @@
+"""Device-resident TRM (single-jit while_loop) vs the host loop: identical
+iterates, plus batched multistart."""
+
+import numpy as np
+import pytest
+
+from mioc_tpu.models import ConvObj, LVMObj
+from mioc_tpu.solvers.trm import TRMParameters, trm_solve
+from mioc_tpu.solvers.trm_device import (
+    make_device_trm,
+    multistart_solve_device,
+    trm_solve_device,
+)
+from mioc_tpu.utils.init import rand_func
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        TRMParameters(beta=1e-3, p=1, delta0=1.0),
+        TRMParameters(beta=1e-4, p=np.inf, delta0=2.0),
+    ],
+    ids=["p1", "pinf"],
+)
+def test_device_loop_matches_host_fishing(params):
+    obj_h = LVMObj(nt=240)
+    obj_d = LVMObj(nt=240)
+    x0 = rand_func(obj_h, seed=7)
+    host = trm_solve(obj_h, params, x0=x0)
+    dev = trm_solve_device(obj_d, params, x0=x0)
+    assert bool(dev.converged) == host.converged
+    np.testing.assert_array_equal(np.asarray(dev.u), host.u)
+    np.testing.assert_allclose(float(dev.J), host.J, rtol=1e-12)
+    assert int(dev.iterations) == host.iterations
+    assert int(dev.inner_steps) == host.inner_steps
+
+
+def test_device_loop_matches_host_convolution():
+    params = TRMParameters(beta=1e-4, p=1, delta0=0.125)
+    obj_h, obj_d = ConvObj(nt=256), ConvObj(nt=256)
+    x0 = rand_func(obj_h, seed=0)
+    host = trm_solve(obj_h, params, x0=x0)
+    dev = trm_solve_device(obj_d, params, x0=x0)
+    np.testing.assert_array_equal(np.asarray(dev.u), host.u)
+    np.testing.assert_allclose(float(dev.J), host.J, rtol=1e-12)
+
+
+def test_multistart_device_batch():
+    obj = LVMObj(nt=160)
+    params = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)
+    x0s = np.stack([rand_func(obj, seed=s) for s in range(4)])
+    res = multistart_solve_device(obj, params, x0s)
+    assert res.u.shape == (4, 160, 3)
+    assert np.all(res.converged)
+    # Each batched solve must equal its standalone device solve.
+    single = trm_solve_device(LVMObj(nt=160), params, x0=x0s[2])
+    np.testing.assert_array_equal(res.u[2], np.asarray(single.u))
+    np.testing.assert_allclose(res.J[2], float(single.J), rtol=1e-12)
