@@ -128,3 +128,12 @@ class ConvObj(LazyObjective):
 
     def _adjoint(self, x, aux):
         return _conv_df(x, *self._args()), None
+
+    def _sweep_ops(self):
+        return self._args()
+
+    def _forward_with(self, x, ops):
+        return _conv_f(x, *ops), None
+
+    def _adjoint_with(self, x, aux, ops):
+        return _conv_df(x, *ops), None

@@ -78,6 +78,12 @@ class Objective:
 class LazyObjective(Objective):
     """f-then-df protocol with gradient-cache invalidation.
 
+    Objectives with compiled sweeps additionally expose the pure-function API
+    used by device-resident solvers (one jit around the whole solve):
+    ``_sweep_ops()`` returns the pytree of device operands and
+    ``_forward_with(x, ops)`` / ``_adjoint_with(x, aux, ops)`` evaluate with
+    those operands passed explicitly (never captured as jit constants).
+
     Subclasses implement:
       ``eval_f_impl(x, cache: bool) -> (fval, aux)`` — objective at ``x``;
         when ``cache`` the returned ``aux`` (e.g. the state trajectory) is
@@ -90,6 +96,16 @@ class LazyObjective(Objective):
 
     def eval_df_impl(self):
         raise NotImplementedError
+
+    # -- pure sweep API (device-resident solvers) -----------------------------
+    def _sweep_ops(self):
+        return ()
+
+    def _forward_with(self, x, ops):
+        return self._forward(x)
+
+    def _adjoint_with(self, x, aux, ops):
+        return self._adjoint(x, aux)
 
     def eval_f(self, x) -> float:
         """Evaluate at ``x``; counts but does not cache (AbstractObjective.jl:74-78)."""

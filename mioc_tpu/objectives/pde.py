@@ -218,6 +218,15 @@ class PDEObjective(LazyObjective):
     def _adjoint(self, x, ys_all):
         return self._adjoint_ops(x, ys_all, self._ops)
 
+    def _sweep_ops(self):
+        return self._ops
+
+    def _forward_with(self, x, ops):
+        return self._forward_ops(x, ops)
+
+    def _adjoint_with(self, x, aux, ops):
+        return self._adjoint_ops(x, aux, ops)
+
     # -- protocol hooks --------------------------------------------------------
     def eval_f_impl(self, x, cache: bool):
         fval, ys_all = self._forward(x)

@@ -67,10 +67,10 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
     dp_build = build_tables_pallas if use_pallas else build_tables
     dp_backtrack = backtrack_pallas if use_pallas else backtrack
 
-    forward, adjoint = obj._forward, obj._adjoint
-
-    def solve(x0, levels, jump):
+    def solve(x0, levels, jump, sweep_ops):
         x0 = x0.astype(levels.dtype)
+        forward = lambda u: obj._forward_with(u, sweep_ops)
+        adjoint = lambda u, ys: obj._adjoint_with(u, ys, sweep_ops)
         f0, ys0 = forward(x0)
         # Objectives without a state cache (e.g. ConvObj) return aux None;
         # the while-loop carry needs an array, so substitute a dummy.
@@ -169,12 +169,14 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
     solve_jit = jax.jit(solve)
     levels = jnp.asarray(levels_np, dtype=getattr(obj, "dtype", None))
     jump = jnp.asarray(jump_np, dtype=levels.dtype)
+    sweep_ops = obj._sweep_ops()
 
     def run(x0):
-        return solve_jit(jnp.asarray(x0, dtype=levels.dtype), levels, jump)
+        return solve_jit(jnp.asarray(x0, dtype=levels.dtype), levels, jump,
+                         sweep_ops)
 
     run.raw = solve_jit
-    run.operands = (levels, jump)
+    run.operands = (levels, jump, sweep_ops)
     return run
 
 
@@ -201,20 +203,21 @@ def multistart_solve_device(obj, par, x0s, mesh=None):
     With a device ``mesh`` the start axis is sharded over its ``batch`` axis
     (scenario data parallelism across chips)."""
     run = make_device_trm(obj, par, use_pallas=False)
-    levels, jump = run.operands
-    vm = jax.vmap(run.raw, in_axes=(0, None, None))
+    levels, jump, sweep_ops = run.operands
+    vm = jax.vmap(run.raw, in_axes=(0, None, None, None))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sh = NamedSharding(mesh, P("batch"))
         rep = NamedSharding(mesh, P())
+        ops_sh = jax.tree_util.tree_map(lambda _: rep, sweep_ops)
         batched = jax.jit(
             vm,
-            in_shardings=(sh, rep, rep),
+            in_shardings=(sh, rep, rep, ops_sh),
             out_shardings=DeviceTRMResult(*([sh] * 9)),
         )
     else:
         batched = jax.jit(vm)
     return jax.device_get(
-        batched(jnp.asarray(x0s, dtype=levels.dtype), levels, jump)
+        batched(jnp.asarray(x0s, dtype=levels.dtype), levels, jump, sweep_ops)
     )

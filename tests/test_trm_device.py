@@ -56,3 +56,19 @@ def test_multistart_device_batch():
     single = trm_solve_device(LVMObj(nt=160), params, x0=x0s[2])
     np.testing.assert_array_equal(res.u[2], np.asarray(single.u))
     np.testing.assert_allclose(res.J[2], float(single.J), rtol=1e-12)
+
+
+def test_device_loop_matches_host_heat():
+    """PDE objective with threaded sweep operands inside the device loop."""
+    from mioc_tpu.models import HeatObj
+    from mioc_tpu.models.heat import construct_mesh
+
+    params = TRMParameters(beta=1e-3, p=2, delta0=2.0)
+    mesh = construct_mesh(refinements=2)
+    obj_h = HeatObj(nt=30, mesh=mesh)
+    obj_d = HeatObj(nt=30, mesh=mesh)
+    x0 = rand_func(obj_h, seed=1)
+    host = trm_solve(obj_h, params, x0=x0)
+    dev = trm_solve_device(obj_d, params, x0=x0)
+    np.testing.assert_array_equal(np.asarray(dev.u), host.u)
+    np.testing.assert_allclose(float(dev.J), host.J, rtol=1e-10)
