@@ -41,35 +41,40 @@ def make_ode_trm_step(obj, *, beta: float, p, delta0: float, mesh=None,
     ``J_model[s]`` is the DP's model objective τ·∇f·u + β·TV (per scenario).
     """
     adm = obj.admissible
-    levels = jnp.asarray(adm.levels)
-    jump = jnp.asarray(
+    # numpy closures: baked as jit literals (device-array consts degrade the
+    # axon runtime's dispatch latency, BASELINE_SELF.md).
+    levels = np.asarray(adm.levels)
+    jump = np.asarray(
         jump_cost_table(adm.levels, p, beta=beta, compat_pinf=compat_pinf)
     )
     smax = max_budget_use(adm.levels)
     B = int(np.floor(delta0 / obj.tau))
     tau = obj.tau
 
-    def one(u):
-        f_old, ys = obj._forward(u)
-        grad, _ = obj._adjoint(u, ys)
+    sweep_ops = obj._sweep_ops()
+
+    def one(u, ops):
+        f_old, ys = obj._forward_with(u, ops)
+        grad, _ = obj._adjoint_with(u, ys, ops)
         stage, btilde = stage_tables(grad, u, levels, tau)
         U, phi0 = build_tables(stage, btilde, jump, B, smax)
         u_new, idx = backtrack(U, phi0, btilde, levels, jnp.int32(B))
-        f_new, _ = obj._forward(u_new)
+        f_new, _ = obj._forward_with(u_new, ops)
         model = tau * jnp.sum(grad * u_new) + beta * tv_p(u_new, p)
         return u_new, f_new, model
 
-    step = jax.vmap(one)
+    vm = jax.vmap(one, in_axes=(0, None))
     if mesh is not None:
         sh = NamedSharding(mesh, P("batch"))
         rep = NamedSharding(mesh, P())
-        step = jax.jit(
-            step,
-            in_shardings=(sh,),
-            out_shardings=(sh, NamedSharding(mesh, P("batch")), NamedSharding(mesh, P("batch"))),
-        )
+        ops_sh = jax.tree_util.tree_map(lambda _: rep, sweep_ops)
+        step_jit = jax.jit(vm, in_shardings=(sh, ops_sh), out_shardings=(sh, sh, sh))
     else:
-        step = jax.jit(step)
+        step_jit = jax.jit(vm)
+
+    def step(u_batch):
+        return step_jit(u_batch, sweep_ops)
+
     return step
 
 
