@@ -171,3 +171,16 @@ def test_debug_checks_and_nan_guard():
         assert_admissible(np.full((5, 3), 0.5), obj.admissible)
     with pytest.raises(AssertionError):
         check_budget(np.ones((4, 3)), np.zeros((4, 3)), B=2)
+
+
+def test_animate_solution_smoke(tmp_path, monkeypatch):
+    from mioc_tpu.fem import mesh_library
+    from mioc_tpu.utils.plotting import animate_solution
+
+    mesh = mesh_library("squareg", 0.5)
+    state = np.random.default_rng(0).random((mesh.np, 6))
+    v = np.random.default_rng(1).integers(0, 5, size=(5, 2)).astype(float)
+    monkeypatch.chdir(tmp_path)
+    out = animate_solution(mesh, state, 0.1, str(tmp_path / "anim"), v=v,
+                           fps=2, max_frames=3)
+    assert os.path.exists(out)

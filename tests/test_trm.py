@@ -100,3 +100,24 @@ def test_metrics_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert len(lines) >= 1
     assert {"iteration", "J", "f_evals", "dp_s"} <= set(lines[0])
+
+
+def test_vanderpol_solve_value_range():
+    """Self-measured reference point: J ≈ 2.41 at nt=1024 (BASELINE_SELF.md);
+    stationary points vary with the start — accept a sane band."""
+    from mioc_tpu.models import VPOObj
+
+    res = trm_solve(
+        VPOObj(nt=512), TRMParameters(beta=0.1, delta0=1.0, p=np.inf), seed=0
+    )
+    assert res.converged
+    assert 0.5 < res.J < 4.0
+
+
+def test_doubletank_solve_value_range():
+    """Self-measured: J ≈ 4.74 at nt=1024."""
+    res = trm_solve(
+        DTMObj(nt=500), TRMParameters(beta=1e-5, delta0=2.0, p=np.inf), seed=0
+    )
+    assert res.converged
+    assert 4.0 < res.J < 6.0
