@@ -237,3 +237,27 @@ def test_prolongation_p3_to_p1():
     U = np.array([f(*pt) for pt in global_dof_points(FE_Lagrange(3), mesh)])
     Ur = np.array([f(*pt) for pt in global_dof_points(FE_Lagrange(1), rmesh)])
     np.testing.assert_allclose(P @ U, Ur, atol=1e-12)
+
+
+def test_torus_surface_solve():
+    """Screened Poisson with a point source on the torus (test_FEM.jl:146-165):
+    (−Δ_surf + c) u = δ — solution finite, positive near the source, decaying."""
+    mesh = torus_mesh(3.0, 1.0, 60, 20)
+    fe = FE_Lagrange(1)
+    quad = quadrature_unit_triangle_area(2)
+    A, F = area_integrator(mesh, fe, quad, 1.0, None, 1e-3, None)
+    F[0] = 1.0
+    u = spla.spsolve(A.tocsc(), F)
+    assert np.all(np.isfinite(u))
+    assert u[0] == u.max() > 0  # peak at the source
+    assert u.min() > 0          # screened Green's function is positive
+
+
+def test_moebius_surface_solve():
+    mesh = moebius_mesh(3.0, 1.0, 60)
+    fe = FE_Lagrange(1)
+    quad = quadrature_unit_triangle_area(2)
+    A, F = area_integrator(mesh, fe, quad, 1.0, None, 1e-3, None)
+    F[5] = 1.0
+    u = spla.spsolve(A.tocsc(), F)
+    assert np.all(np.isfinite(u)) and u.max() == u[5]
