@@ -147,6 +147,13 @@ def make_mesh(p, t, segments=None, markers=None, geometry=None,
         key = lo * p.shape[0] + hi
         ekey = e[:, 0] * p.shape[0] + e[:, 1]
         idx = np.searchsorted(ekey, key)
+        bad = (idx >= len(ekey)) | (ekey[np.clip(idx, 0, len(ekey) - 1)] != key)
+        if np.any(bad):
+            b = int(np.nonzero(bad)[0][0])
+            raise ValueError(
+                f"Boundary segment {segments[b].tolist()} is not an edge of "
+                "the triangulation."
+            )
         be = np.stack([idx, markers], axis=1)
     else:
         # Derive: every edge with a single incident triangle, marker 1.

@@ -52,6 +52,10 @@ _NONPARAM_FIELDS = {
 
 
 def _params_key(obj) -> tuple:
+    """Hashable signature of an objective's parameters.  Unhandled attribute
+    types (e.g. device arrays a subclass stored directly) make the key unique
+    per instance — caching is DISABLED rather than risking a collision that
+    would silently reuse another instance's compiled dynamics."""
     items = []
     for k, v in sorted(obj.__dict__.items()):
         if k in _NONPARAM_FIELDS:
@@ -60,8 +64,18 @@ def _params_key(obj) -> tuple:
             items.append((k, v))
         elif isinstance(v, np.ndarray):
             items.append((k, v.dtype.str, v.shape, v.tobytes()))
+        elif isinstance(v, (list, tuple)):
+            try:
+                a = np.asarray(v, dtype=np.float64)
+                items.append((k, a.shape, a.tobytes()))
+            except (ValueError, TypeError):
+                items.append((k, "<uncacheable>", id(obj)))
         elif isinstance(v, np.dtype) or v is None:
             items.append((k, str(v)))
+        elif hasattr(v, "dtype") and hasattr(v, "shape"):
+            # A device array stored as a parameter: no safe cheap hash
+            # (reading it back is costly on the axon runtime) — unique key.
+            items.append((k, "<uncacheable-device-array>", id(obj)))
     return tuple(items)
 
 

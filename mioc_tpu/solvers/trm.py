@@ -107,6 +107,11 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
     if adm is None or adm.L == 0:
         raise ValueError("Objective has no admissible integer level combinations.")
 
+    if not np.allclose(adm.levels, np.round(adm.levels)):
+        raise ValueError(
+            "Admissible levels must be integer-valued: the DP budget axis "
+            "tracks the exact L1 deviation (HelpFunctions.jl:37)."
+        )
     levels = jnp.asarray(adm.levels)
     jump = jnp.asarray(
         jump_cost_table(adm.levels, par.p, beta=par.beta, compat_pinf=par.compat_pinf)
@@ -118,6 +123,10 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
         x0 = load_checkpoint(par.resume_from)["u"]
     if x0 is None:
         x0 = rand_func(obj, seed=seed)
+    else:
+        from ..utils.checks import assert_admissible
+
+        assert_admissible(np.asarray(x0), adm)
     obj.x = jnp.asarray(x0, dtype=getattr(obj, "dtype", None))
     u_old = obj.x
 

@@ -46,11 +46,15 @@ class DeviceTRMResult(NamedTuple):
     f_evals: jnp.ndarray
 
 
+_DEVICE_TRM_CACHE: dict = {}
+
+
 def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
     """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
     parameters ``par`` (a TRMParameters).  The returned function contains the
     full TRM; vmap it for batched multistart (``use_pallas=False`` there —
-    the fused kernels are not batched)."""
+    the fused kernels are not batched).  Compiled solvers are cached per
+    (objective parameters, solver parameters) like the sweep cache."""
     adm = obj.admissible
     if adm is None or adm.L == 0:
         raise ValueError("Objective has no admissible integer level combinations.")
@@ -61,6 +65,8 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
     B = int(math.floor(delta0 / dt))
     smax = max_budget_use(adm.levels)
     levels_np = np.asarray(adm.levels)
+    if not np.allclose(levels_np, np.round(levels_np)):
+        raise ValueError("Admissible levels must be integer-valued.")
     jump_np = jump_cost_table(levels_np, p, beta=beta, compat_pinf=par.compat_pinf)
     if use_pallas is None:
         use_pallas = par.use_pallas if par.use_pallas is not None else pallas_supported()
@@ -147,8 +153,10 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
             return (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it + 1,
                     inner_total, f_evals)
 
-        c0 = (x0, ys0, f0, tv0, x0, f0, jnp.bool_(False), jnp.int32(1),
-              jnp.int32(0), jnp.int32(1))
+        # J_ret starts at +inf like the reference's J (multi-trust.jl:80):
+        # it only becomes finite on an accepted step or the certificate.
+        c0 = (x0, ys0, f0, tv0, x0, jnp.asarray(jnp.inf, x0.dtype),
+              jnp.bool_(False), jnp.int32(1), jnp.int32(0), jnp.int32(1))
         (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
          f_evals) = jax.lax.while_loop(outer_cond, outer_body, c0)
 
@@ -166,7 +174,16 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
             f_evals=f_evals,
         )
 
-    solve_jit = jax.jit(solve)
+    from ..objectives.ode import _params_key
+
+    cache_key = (
+        type(obj), _params_key(obj), beta, sigma, p, kmax, maxiter, delta0,
+        bool(par.compat_pinf), bool(use_pallas),
+    )
+    solve_jit = _DEVICE_TRM_CACHE.get(cache_key)
+    if solve_jit is None:
+        solve_jit = jax.jit(solve)
+        _DEVICE_TRM_CACHE[cache_key] = solve_jit
     levels = jnp.asarray(levels_np, dtype=getattr(obj, "dtype", None))
     jump = jnp.asarray(jump_np, dtype=levels.dtype)
     sweep_ops = obj._sweep_ops()

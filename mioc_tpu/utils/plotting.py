@@ -44,19 +44,22 @@ def plot_results(obj, filename="results.png", data_dir="data_files", show=False)
     from ..objectives.ode import ODEObjective
 
     is_ode = isinstance(obj, ODEObjective)
+    # Mixed problems use the reference's two-column grid: continuous controls
+    # in column 1, integer controls in column 2 (HelpFunctions.jl:290-296).
+    ncols = 2 if (N > 0 and M > 0) else 1
     rows = max(N, M, 1) + (1 if is_ode else 0)
-    fig, axes = plt.subplots(rows, 1, figsize=(8, 2.2 * rows), squeeze=False)
-    axes = axes[:, 0]
+    fig, axes = plt.subplots(rows, ncols, figsize=(8 * ncols, 2.2 * rows),
+                             squeeze=False)
 
     for i in range(N):
-        ax = axes[i]
+        ax = axes[i, 0]
         ax.plot(t, x[:, i], "g-", lw=2, label=f"u{i+1}")
         ax.plot(t, df_n[:, i], "r-", lw=1, label=f"∇f_u{i+1}")
         ax.legend(loc="upper right")
         save_latex_format(t, x[:, i], f"u({i+1})", data_dir)
         save_latex_format(t, df_n[:, i], f"nabla_f_u({i+1})", data_dir)
     for i in range(M):
-        ax = axes[i]
+        ax = axes[i, ncols - 1]
         ax.step(t, x[:, N + i], "g-", lw=2, where="post", label=f"v{i+1}")
         ax.plot(t, df_n[:, N + i], "r-", lw=1, label=f"∇f_v{i+1}")
         ax.legend(loc="upper right")
@@ -67,7 +70,7 @@ def plot_results(obj, filename="results.png", data_dir="data_files", show=False)
         state = np.concatenate(
             [np.asarray(obj.state0)[None], np.asarray(obj.state)[:-1]]
         )
-        ax = axes[-1]
+        ax = axes[-1, 0]
         for j in range(state.shape[1]):
             ax.plot(t, state[:, j], lw=2, label=f"y{j+1}")
             save_latex_format(t, state[:, j], f"y({j+1})", data_dir)

@@ -50,10 +50,12 @@ def write_vtk(filename, mesh, data=None):
         fh.write(f"\nCELL_TYPES {len(t)}\n")
         fh.write("\n".join(["5"] * len(t)) + "\n")
 
-        point_fields = [
-            (k, v) for k, v in fields if v.size in (len(p), 3 * len(p)) and v.shape[-1] != len(t)
+        is_point = [
+            v.size in (len(p), 3 * len(p)) and v.shape[-1] != len(t)
+            for _, v in fields
         ]
-        cell_fields = [(k, v) for k, v in fields if (k, v) not in point_fields]
+        point_fields = [f for f, ip in zip(fields, is_point) if ip]
+        cell_fields = [f for f, ip in zip(fields, is_point) if not ip]
         if point_fields:
             fh.write(f"\nPOINT_DATA {len(p)}\n")
             for k, v in point_fields:
