@@ -121,3 +121,16 @@ def test_doubletank_solve_value_range():
     )
     assert res.converged
     assert 4.0 < res.J < 6.0
+
+
+def test_checkpoint_resume(tmp_path):
+    """A solve resumed from a checkpoint starts at the checkpointed control."""
+    path = str(tmp_path / "ckpt.npz")
+    obj = LVMObj(nt=100)
+    r1 = trm_solve(obj, TRMParameters(checkpoint_path=path, maxiter=3), seed=0)
+    r2 = trm_solve(
+        LVMObj(nt=100), TRMParameters(resume_from=path)
+    )
+    assert r2.converged
+    # Resuming from a partially-converged control can only do as well or better.
+    assert r2.J <= r1.J + 1e-12
