@@ -107,13 +107,7 @@ def _bt_kernel(
     jax.lax.fori_loop(0, nsteps, step, (l0, b0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def backtrack_pallas(U, phi0, btilde, levels, B_new, interpret: bool = False):
-    """Drop-in device-side replacement for :func:`bellman.backtrack` on the
-    padded tables produced by :func:`bellman_pallas.build_tables_pallas`.
-
-    Returns ``(u, level_idx)`` like the scan version.
-    """
+def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
     nsteps, Lp, Bp = U.shape
     nt = nsteps + 1
     K = max(1, min(64, nsteps, (2 << 20) // (Lp * Bp * 4)))
@@ -145,3 +139,35 @@ def backtrack_pallas(U, phi0, btilde, levels, B_new, interpret: bool = False):
     level_idx = idx[0, :nt]
     levels = jnp.asarray(levels)
     return levels[level_idx], level_idx
+
+
+@functools.lru_cache(maxsize=None)
+def _cv_backtrack(interpret: bool):
+    """custom_vmap wrapper: jax.vmap of the fused backtrack dispatches to the
+    (bit-identical) vmapped XLA-scan backtrack."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(U, phi0, btilde, levels, B_new):
+        return _backtrack_impl(U, phi0, btilde, levels, B_new, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, U, phi0, btilde, levels, B_new):
+        from .bellman import backtrack
+
+        in_axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(backtrack, in_axes=in_axes)(U, phi0, btilde, levels, B_new)
+        return out, (True, True)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def backtrack_pallas(U, phi0, btilde, levels, B_new, interpret: bool = False):
+    """Drop-in device-side replacement for :func:`bellman.backtrack` on the
+    padded tables produced by :func:`bellman_pallas.build_tables_pallas`.
+
+    Returns ``(u, level_idx)`` like the scan version.  Supports ``jax.vmap``
+    (falls back to the equivalent vmapped scan backtrack).
+    """
+    return _cv_backtrack(interpret)(U, phi0, btilde, levels, B_new)

@@ -48,11 +48,12 @@ def pallas_supported() -> bool:
 
 
 def _dp_kernel(
-    stage_ref,    # (nt, Lp) f32, VMEM
+    stage_ref,    # (nt, Lp) f32, VMEM — or a (1, nt, Lp) block when batched
     btilde_ref,   # (nt, Lp) i32, VMEM
-    jump_ref,     # (Lp, Lp) f32, VMEM
-    U_hbm_ref,    # out 0: (nchunks*K, Lp, Bp) i32, HBM (streamed per chunk)
-    phi0_ref,     # out 1: (Lp, Bp) f32, VMEM
+    jump_ref,     # (Lp, Lp) f32, VMEM (shared across the batch grid)
+    U_hbm_ref,    # out 0: (nchunks*K, Lp, Bp) i32, HBM (streamed per chunk);
+                  #        (S, nchunks*K, Lp, Bp) full-array ref when batched
+    phi0_ref,     # out 1: (Lp, Bp) f32, VMEM — (1, Lp, Bp) block when batched
     phi_ref,      # scratch: (Lp, Bp) f32
     u_buf_ref,    # scratch: (2, K, Lp, Bp) i32 — double-buffered chunk
     send_sem,     # DMA semaphores (2,)
@@ -61,15 +62,30 @@ def _dp_kernel(
     L: int,
     smax: int,
     K: int,
+    batched: bool = False,
 ):
     Lp, Bp = phi_ref.shape
     b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
     nsteps = nt - 1
 
+    if batched:
+        # One grid step per batch element; blocked VMEM inputs carry a leading
+        # singleton axis, the ANY-space U output is indexed manually.
+        s_ix = pl.program_id(0)
+        stage_at = lambda i: stage_ref[0, i, :]
+        btilde_at = lambda i: btilde_ref[0, i, :]
+        U_at = lambda sl: U_hbm_ref.at[s_ix, sl]
+        phi0_out = phi0_ref.at[0]
+    else:
+        stage_at = lambda i: stage_ref[i, :]
+        btilde_at = lambda i: btilde_ref[i, :]
+        U_at = lambda sl: U_hbm_ref.at[sl]
+        phi0_out = phi0_ref
+
     # Terminal layer i = nt-1: Φ[l, b] = stage if b == b̃ else +inf.
     phi_ref[:] = jnp.where(
-        b_lane == btilde_ref[nt - 1, :][:, None],
-        stage_ref[nt - 1, :][:, None],
+        b_lane == btilde_at(nt - 1)[:, None],
+        stage_at(nt - 1)[:, None],
         _INF,
     )
 
@@ -87,7 +103,7 @@ def _dp_kernel(
             arg = jnp.where(better, j, arg)
 
         # Budget shift: out[l, b] = val[l, b − b̃_l] via static lane rotations.
-        btilde_i = btilde_ref[i, :][:, None]  # (Lp, 1)
+        btilde_i = btilde_at(i)[:, None]  # (Lp, 1)
         new_phi = jnp.full((Lp, Bp), _INF)
         new_arg = jnp.zeros((Lp, Bp), jnp.int32)
         for s in range(smax + 1):
@@ -97,7 +113,7 @@ def _dp_kernel(
             new_phi = jnp.where(sel, v, new_phi)
             new_arg = jnp.where(sel, a, new_arg)
 
-        phi_ref[:] = stage_ref[i, :][:, None] + new_phi
+        phi_ref[:] = stage_at(i)[:, None] + new_phi
 
         # Chunked streaming: per-step DMA issue costs ~15 µs, dwarfing the
         # ~0.1 µs of compute per step, so K argmin planes are buffered in
@@ -112,7 +128,7 @@ def _dp_kernel(
             def _():
                 pltpu.make_async_copy(
                     u_buf_ref.at[slot],
-                    U_hbm_ref.at[pl.ds((chunk + 2) * K, K)],
+                    U_at(pl.ds((chunk + 2) * K, K)),
                     send_sem.at[slot],
                 ).wait()
 
@@ -122,7 +138,7 @@ def _dp_kernel(
         def _():  # chunk complete (sweep is backward): flush it
             pltpu.make_async_copy(
                 u_buf_ref.at[slot],
-                U_hbm_ref.at[pl.ds(chunk * K, K)],
+                U_at(pl.ds(chunk * K, K)),
                 send_sem.at[slot],
             ).start()
 
@@ -134,22 +150,15 @@ def _dp_kernel(
     for chunk in range(min(2, (nsteps + K - 1) // K)):
         pltpu.make_async_copy(
             u_buf_ref.at[chunk % 2],
-            U_hbm_ref.at[pl.ds(chunk * K, K)],
+            U_at(pl.ds(chunk * K, K)),
             send_sem.at[chunk % 2],
         ).wait()
 
-    phi0_ref[:] = phi_ref[:]
+    phi0_out[:] = phi_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("B", "smax", "interpret"))
-def build_tables_pallas(stage, btilde, jump_cost, B: int, smax: int,
-                        interpret: bool = False):
-    """Fused-kernel equivalent of :func:`mioc_tpu.ops.bellman.build_tables`.
-
-    Returns ``(U, phi0)`` with padded shapes ``(nt-1, Lp, Bp)`` / ``(Lp, Bp)``
-    where ``Lp = roundup(L, 8)``, ``Bp = roundup(B+1, 128)``; padded level
-    rows hold ``+inf`` in ``phi0`` and are never selected by ``backtrack``.
-    """
+def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
+                       interpret: bool = False):
     nt, L = stage.shape
     Lp = _round_up(max(L, 8), 8)
     Bp = _round_up(B + 1, 128)
@@ -192,3 +201,104 @@ def build_tables_pallas(stage, btilde, jump_cost, B: int, smax: int,
         interpret=interpret,
     )(stage_p, btilde_p, jump_p)
     return U[:nsteps], phi0
+
+
+@functools.lru_cache(maxsize=None)
+def _cv_build(B: int, smax: int, interpret: bool):
+    """custom_vmap wrapper: jax.vmap of the fused build dispatches to the
+    batched (grid-over-batch) kernel instead of failing to batch pallas_call."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(stage, btilde, jump_cost):
+        return _build_tables_impl(stage, btilde, jump_cost, B, smax, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, stage, btilde, jump_cost):
+        sb, bb, jb = in_batched
+        if jb:
+            # Batched jump table (different β per element): sequential map.
+            out = jax.lax.map(
+                lambda args: _build_tables_impl(*args, B, smax, interpret),
+                (stage, btilde, jump_cost),
+            )
+            return out, (True, True)
+        if not sb:
+            stage = jnp.broadcast_to(stage[None], (axis_size,) + stage.shape)
+        if not bb:
+            btilde = jnp.broadcast_to(btilde[None], (axis_size,) + btilde.shape)
+        out = build_tables_pallas_batched(stage, btilde, jump_cost, B, smax,
+                                          interpret)
+        return out, (True, True)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("B", "smax", "interpret"))
+def build_tables_pallas(stage, btilde, jump_cost, B: int, smax: int,
+                        interpret: bool = False):
+    """Fused-kernel equivalent of :func:`mioc_tpu.ops.bellman.build_tables`.
+
+    Returns ``(U, phi0)`` with padded shapes ``(nt-1, Lp, Bp)`` / ``(Lp, Bp)``
+    where ``Lp = roundup(L, 8)``, ``Bp = roundup(B+1, 128)``; padded level
+    rows hold ``+inf`` in ``phi0`` and are never selected by ``backtrack``.
+    Supports ``jax.vmap`` via the batched grid kernel.
+    """
+    return _cv_build(B, min(smax, B), interpret)(stage, btilde, jump_cost)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "smax", "interpret"))
+def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
+                                interpret: bool = False):
+    """Batched fused DP build: one pallas grid step per batch element.
+
+    ``stage``/``btilde`` are ``(S, nt, L)``; ``jump_cost`` is shared.  Returns
+    ``(U (S, nt-1, Lp, Bp), phi0 (S, Lp, Bp))``.  This is the batching rule
+    behind ``jax.vmap(build_tables_pallas)`` — e.g. the vmapped device TRM.
+    """
+    S, nt, L = stage.shape
+    Lp = _round_up(max(L, 8), 8)
+    Bp = _round_up(B + 1, 128)
+
+    stage_p = jnp.full((S, nt, Lp), _INF, jnp.float32).at[:, :, :L].set(
+        stage.astype(jnp.float32)
+    )
+    btilde_p = jnp.full((S, nt, Lp), Bp + 1, jnp.int32).at[:, :, :L].set(btilde)
+    jump_p = jnp.full((Lp, Lp), _INF, jnp.float32).at[:L, :L].set(
+        jump_cost.astype(jnp.float32)
+    )
+
+    nsteps = nt - 1
+    K = max(1, min(64, nsteps, (2 << 20) // (Lp * Bp * 4)))
+    nchunks = -(-nsteps // K)
+
+    kernel = functools.partial(
+        _dp_kernel, nt=nt, L=L, smax=min(smax, B), K=K, batched=True
+    )
+    U, phi0 = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, nchunks * K, Lp, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((S, Lp, Bp), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, nt, Lp), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt, Lp), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, Lp), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # ANY-space outputs must be full-array with a trivial index map;
+            # the kernel addresses its batch slice manually via program_id.
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, Lp, Bp), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Lp, Bp), jnp.float32),
+            pltpu.VMEM((2, K, Lp, Bp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(stage_p, btilde_p, jump_p)
+    return U[:, :nsteps], phi0

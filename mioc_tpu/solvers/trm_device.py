@@ -211,15 +211,19 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None):
     return res
 
 
-def multistart_solve_device(obj, par, x0s, mesh=None):
+def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None):
     """Batched multistart: vmap the device TRM over ``x0s (S, nt, nx)``;
     every start runs its own accept/halve schedule in lockstep hardware.
-    Returns the vmapped DeviceTRMResult (one readback).  Uses the XLA-scan DP
-    path — the fused Pallas kernels don't support being vmapped.
+    Returns the vmapped DeviceTRMResult (one readback).  The fused Pallas DP
+    build batches via its custom_vmap rule (grid over starts); pass
+    ``use_pallas=False`` to force the XLA-scan DP.
 
     With a device ``mesh`` the start axis is sharded over its ``batch`` axis
-    (scenario data parallelism across chips)."""
-    run = make_device_trm(obj, par, use_pallas=False)
+    (scenario data parallelism across chips); sharded runs use the scan DP
+    (the batched kernel is single-core)."""
+    if mesh is not None and use_pallas is None:
+        use_pallas = False
+    run = make_device_trm(obj, par, use_pallas=use_pallas)
     levels, jump, sweep_ops = run.operands
     vm = jax.vmap(run.raw, in_axes=(0, None, None, None))
     if mesh is not None:

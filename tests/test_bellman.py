@@ -121,3 +121,40 @@ def test_zero_budget_returns_u_old():
     jump = jnp.asarray(jump_cost_table(s.levels, p=1, beta=0.5))
     u, _, _ = dp_solve(grad, u_old, s.levels, jump, tau, 0)
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u_old))
+
+
+def test_vmapped_pallas_build_matches_scan():
+    """jax.vmap of the fused DP build dispatches to the batched grid kernel
+    (custom_vmap rule); interpret mode exercises it on CPU."""
+    import jax
+
+    from mioc_tpu.ops.bellman_pallas import build_tables_pallas
+
+    rng = np.random.default_rng(0)
+    s = bounded_sum_levels([[0, 1], [0, 1], [0, 1]], 1, 1)
+    nt, B, tau = 16, 5, 0.1
+    levels = jnp.asarray(s.levels)
+    jump = jnp.asarray(jump_cost_table(s.levels, p=1, beta=0.3))
+    from mioc_tpu.ops.bellman import build_tables, max_budget_use
+
+    smax = max_budget_use(s.levels)
+    stages, btildes = [], []
+    for k in range(3):
+        grad = jnp.asarray(rng.normal(size=(nt, 3)))
+        u_old = jnp.asarray(s.levels[rng.integers(0, 3, size=nt)])
+        st, bt = stage_tables(grad, u_old, levels, tau)
+        stages.append(st)
+        btildes.append(bt)
+    stage_b, btilde_b = jnp.stack(stages), jnp.stack(btildes)
+
+    Ub, phib = jax.vmap(
+        lambda st, bt: build_tables_pallas(st, bt, jump, B, smax, interpret=True)
+    )(stage_b, btilde_b)
+    for k in range(3):
+        Ur, phir = build_tables(stages[k], btildes[k], jump, B, smax)
+        np.testing.assert_allclose(
+            np.asarray(phib)[k, :3, : B + 1], np.asarray(phir), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(Ub)[k, :, :3, : B + 1], np.asarray(Ur)
+        )
