@@ -261,3 +261,35 @@ def test_moebius_surface_solve():
     F[5] = 1.0
     u = spla.spsolve(A.tocsc(), F)
     assert np.all(np.isfinite(u)) and u.max() == u[5]
+
+
+def test_fem_driver_and_benchmark(tmp_path, monkeypatch):
+    """Elliptic FEM(...) driver incl. P3 visualization path (test_FEM.jl:21-95)
+    and the timing harness (benchmark.jl)."""
+    monkeypatch.chdir(tmp_path)
+    from mioc_tpu.fem import FEM, fem_benchmark, plot_shape_functions, simple_test_FEM
+
+    # Robin with constant data: u ≡ 1 (exact).
+    _, U = FEM(np.eye(2), None, None, 0.0, 1.0, 1.0, fe_type="Lagrange_2",
+               hmax=0.2)
+    np.testing.assert_allclose(U, 1.0, atol=1e-9)
+
+    # P3 pipeline with visualization (VTK + png via double prolongation).
+    mesh, U = simple_test_FEM(hmax=0.5, visualize=True)
+    assert np.all(np.isfinite(U))
+    import os
+
+    assert any(f.endswith(".vtk") for f in os.listdir("."))
+
+    out = fem_benchmark(refs=3, verbose=False)
+    assert out["ntri"] > 0 and out["solve_s"] >= 0
+
+    pvd = plot_shape_functions(FE_Lagrange(2), refs=1)
+    assert os.path.exists(pvd)
+
+
+def test_fem_unknown_fe_type():
+    from mioc_tpu.fem import FEM
+
+    with pytest.raises(ValueError):
+        FEM(np.eye(2), None, None, 1.0, 1.0, 1.0, fe_type="Hermite")
