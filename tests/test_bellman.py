@@ -158,3 +158,31 @@ def test_vmapped_pallas_build_matches_scan():
         np.testing.assert_array_equal(
             np.asarray(Ub)[k, :, :3, : B + 1], np.asarray(Ur)
         )
+
+
+def test_huge_budget_equals_unconstrained_viterbi():
+    """With B ≥ nt·smax the trust region is inactive: the DP must equal the
+    plain (budget-free) min-plus recursion."""
+    rng = np.random.default_rng(11)
+    s = product_levels([[-2, -1, 0, 1, 2]])
+    nt, tau, beta = 12, 0.1, 0.25
+    grad = jnp.asarray(rng.normal(size=(nt, 1)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, 5, size=nt)])
+    jump = np.asarray(jump_cost_table(s.levels, p=1, beta=beta))
+    stage, btilde = stage_tables(grad, u_old, jnp.asarray(s.levels), tau)
+    stage_np = np.asarray(stage)
+
+    # Unconstrained Viterbi (backward).
+    phi = stage_np[-1].copy()
+    for i in range(nt - 2, -1, -1):
+        phi = stage_np[i] + (jump + phi[None, :]).min(axis=1)
+    expected = phi.min()
+
+    from mioc_tpu.ops.bellman import max_budget_use
+
+    B = nt * max_budget_use(s.levels)
+    u, idx, _ = dp_solve(grad, u_old, s.levels, jnp.asarray(jump), tau, B)
+    got = sum(stage_np[i, idx[i]] for i in range(nt)) + sum(
+        jump[idx[i], idx[i + 1]] for i in range(nt - 1)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-12)

@@ -293,3 +293,15 @@ def test_fem_unknown_fe_type():
 
     with pytest.raises(ValueError):
         FEM(np.eye(2), None, None, 1.0, 1.0, 1.0, fe_type="Hermite")
+
+
+def test_prolongation_after_adaptive_refinement():
+    """NVB children are appended in parent order, so the parent-walk
+    prolongation works after refine_adaptively too (mesh.jl:428-442)."""
+    mesh = mesh_library("squareg", 0.4)
+    rmesh = refine_adaptively(mesh, np.arange(mesh.ntri // 2))
+    P = prolongation(mesh, rmesh, FE_Lagrange(1))
+    f = lambda x, y: 2 * x - 0.7 * y + 0.1
+    U = np.array([f(*pt) for pt in mesh.p])
+    Ur = np.array([f(*pt) for pt in rmesh.p])
+    np.testing.assert_allclose(P @ U, Ur, atol=1e-12)
