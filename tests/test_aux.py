@@ -184,3 +184,21 @@ def test_animate_solution_smoke(tmp_path, monkeypatch):
     out = animate_solution(mesh, state, 0.1, str(tmp_path / "anim"), v=v,
                            fps=2, max_frames=3)
     assert os.path.exists(out)
+
+
+def test_continuous_optimizer_on_relaxed_ode():
+    """Smooth stack drives an ODE objective directly (the reference's intended
+    mixed-integer extension): steepest descent on the continuous relaxation of
+    the fishing problem reduces f."""
+    from mioc_tpu.models import LVMObj
+
+    obj = LVMObj(nt=120)
+    x0 = np.full((120, 3), 0.5)
+    obj.x = jnp.asarray(x0)
+    f0 = obj.eval_fdf_()
+    # Note: ODE df is the gradient DENSITY (true derivative = tau*df), so the
+    # Armijo sufficient-decrease fraction must satisfy sigma < tau.
+    opt = SteepestDescent(ls=ArmijoLS(sigma=1e-3), maxiter=8)
+    f_end = opt_optimize(opt, obj, x0)
+    assert f_end < f0
+    assert obj.f_evals > 1
