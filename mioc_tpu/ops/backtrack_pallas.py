@@ -108,9 +108,11 @@ def _bt_kernel(
 
 
 def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
+    from .bellman_pallas import _chunk_size
+
     nsteps, Lp, Bp = U.shape
     nt = nsteps + 1
-    K = max(1, min(64, nsteps, (2 << 20) // (Lp * Bp * 4)))
+    K = _chunk_size(nsteps, Lp, Bp)
     nchunks = -(-nsteps // K)
     pad = nchunks * K - nsteps
     if pad:

@@ -39,6 +39,25 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _chunk_size(nsteps: int, Lp: int, Bp: int) -> int:
+    """U-streaming chunk length: ≤ ~2 MB per double-buffer slot."""
+    return max(1, min(64, nsteps, (2 << 20) // (Lp * Bp * 4)))
+
+
+def _pad_operands(stage, btilde, jump_cost, L: int, Lp: int, Bp: int):
+    """Pad the level axis to ``Lp`` (inf stage / inert btilde / inf jump
+    columns) — shared by the single and batched builds; leading batch
+    dimensions pass through."""
+    stage_p = jnp.full(stage.shape[:-1] + (Lp,), _INF, jnp.float32)
+    stage_p = stage_p.at[..., :L].set(stage.astype(jnp.float32))
+    btilde_p = jnp.full(btilde.shape[:-1] + (Lp,), Bp + 1, jnp.int32)
+    btilde_p = btilde_p.at[..., :L].set(btilde)
+    jump_p = jnp.full((Lp, Lp), _INF, jnp.float32).at[:L, :L].set(
+        jump_cost.astype(jnp.float32)
+    )
+    return stage_p, btilde_p, jump_p
+
+
 def pallas_supported() -> bool:
     """True when a TPU backend is available for the compiled kernel."""
     try:
@@ -162,18 +181,10 @@ def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
     nt, L = stage.shape
     Lp = _round_up(max(L, 8), 8)
     Bp = _round_up(B + 1, 128)
+    stage_p, btilde_p, jump_p = _pad_operands(stage, btilde, jump_cost, L, Lp, Bp)
 
-    stage_p = jnp.full((nt, Lp), _INF, jnp.float32).at[:, :L].set(
-        stage.astype(jnp.float32)
-    )
-    btilde_p = jnp.full((nt, Lp), Bp + 1, jnp.int32).at[:, :L].set(btilde)
-    jump_p = jnp.full((Lp, Lp), _INF, jnp.float32).at[:L, :L].set(
-        jump_cost.astype(jnp.float32)
-    )
-
-    # Chunk size for U streaming: ≤ ~2 MB per buffer slot.
     nsteps = nt - 1
-    K = max(1, min(64, nsteps, (2 << 20) // (Lp * Bp * 4)))
+    K = _chunk_size(nsteps, Lp, Bp)
     nchunks = -(-nsteps // K)
 
     kernel = functools.partial(_dp_kernel, nt=nt, L=L, smax=min(smax, B), K=K)
@@ -259,17 +270,10 @@ def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
     S, nt, L = stage.shape
     Lp = _round_up(max(L, 8), 8)
     Bp = _round_up(B + 1, 128)
-
-    stage_p = jnp.full((S, nt, Lp), _INF, jnp.float32).at[:, :, :L].set(
-        stage.astype(jnp.float32)
-    )
-    btilde_p = jnp.full((S, nt, Lp), Bp + 1, jnp.int32).at[:, :, :L].set(btilde)
-    jump_p = jnp.full((Lp, Lp), _INF, jnp.float32).at[:L, :L].set(
-        jump_cost.astype(jnp.float32)
-    )
+    stage_p, btilde_p, jump_p = _pad_operands(stage, btilde, jump_cost, L, Lp, Bp)
 
     nsteps = nt - 1
-    K = max(1, min(64, nsteps, (2 << 20) // (Lp * Bp * 4)))
+    K = _chunk_size(nsteps, Lp, Bp)
     nchunks = -(-nsteps // K)
 
     kernel = functools.partial(

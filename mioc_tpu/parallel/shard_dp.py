@@ -16,8 +16,6 @@ lower shard index on equal values.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -25,10 +25,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
-from .. import ops
 from ..ops.bellman import stage_tables
 
 __all__ = ["temporal_dp_solve"]

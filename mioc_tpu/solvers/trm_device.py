@@ -17,7 +17,6 @@ Iteration logging is not available inside the device loop.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

@@ -8,7 +8,6 @@ process-wide NaN trapping, all zero-cost unless enabled.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["enable_nan_checks", "assert_admissible", "check_budget"]

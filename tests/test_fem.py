@@ -305,3 +305,12 @@ def test_prolongation_after_adaptive_refinement():
     U = np.array([f(*pt) for pt in mesh.p])
     Ur = np.array([f(*pt) for pt in rmesh.p])
     np.testing.assert_allclose(P @ U, Ur, atol=1e-12)
+
+
+def test_klein_bottle_mesh():
+    from mioc_tpu.fem import klein_bottle_mesh
+
+    m = klein_bottle_mesh(36)
+    euler, area, _ = sanity_check(m)
+    assert euler == 0  # Klein bottle
+    assert area > 0 and np.isfinite(area)
