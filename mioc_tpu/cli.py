@@ -86,11 +86,18 @@ def main(argv=None):
 
         obj = build_objective(args.problem, args.n)
         if args.multistart > 1:
+            import jax
+
             x0s = _np.stack(
                 [rand_func(obj, seed=(args.seed or 0) + s)
                  for s in range(args.multistart)]
             )
-            batch = multistart_solve_device(obj, par, x0s)
+            mesh = None
+            if jax.device_count() > 1 and args.multistart % jax.device_count() == 0:
+                from .parallel import make_device_mesh
+
+                mesh = make_device_mesh(batch=jax.device_count())
+            batch = multistart_solve_device(obj, par, x0s, mesh=mesh)
             best = int(_np.argmin(batch.J))
             dev = type(batch)(*[leaf[best] for leaf in batch])
         else:

@@ -202,3 +202,16 @@ def test_continuous_optimizer_on_relaxed_ode():
     f_end = opt_optimize(opt, obj, x0)
     assert f_end < f0
     assert obj.f_evals > 1
+
+
+def test_iteration_log_format(capsys):
+    """The par.log table reproduces the reference's columns
+    (multi-trust.jl:86-90)."""
+    from mioc_tpu.models import LVMObj
+    from mioc_tpu.solvers.trm import TRMParameters, trm_solve
+
+    trm_solve(LVMObj(nt=60), TRMParameters(log=True, maxiter=2), seed=0)
+    out = capsys.readouterr().out
+    assert "Iter |" in out and "| Dk" in out.replace("  ", " ") or "Dk" in out
+    assert "Initial Value" in out
+    assert "good step" in out or "bad step" in out or "optimal" in out
