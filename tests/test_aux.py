@@ -215,3 +215,32 @@ def test_iteration_log_format(capsys):
     assert "Iter |" in out and "| Dk" in out.replace("  ", " ") or "Dk" in out
     assert "Initial Value" in out
     assert "good step" in out or "bad step" in out or "optimal" in out
+
+
+def test_rand_func_cont_and_mixed():
+    """Gaussian-smoothed continuous start within [umin, umax]
+    (HelpFunctions.jl:158-193) and the mixed continuous+integer combination."""
+    from mioc_tpu.ops.levels import bounded_sum_levels
+    from mioc_tpu.utils.init import rand_func, rand_func_cont
+
+    class Mixed:
+        nt, nu, nv, nx = 200, 2, 3, 5
+        umin = np.array([0.0, -1.0])
+        umax = np.array([2.0, 1.0])
+        admissible = bounded_sum_levels([[0, 1]] * 3, 1, 1)
+
+    u0 = rand_func_cont(Mixed(), seed=0)
+    assert u0.shape == (200, 2)
+    assert np.all(u0 >= Mixed.umin - 1e-12) and np.all(u0 <= Mixed.umax + 1e-12)
+    # Smoothness: the Gaussian kernel kills step-to-step jumps.
+    assert np.abs(np.diff(u0, axis=0)).max() < 0.5
+
+    x0 = rand_func(Mixed(), seed=1, jumps=10)
+    assert x0.shape == (200, 5)
+    # Integer block rows are admissible combinations.
+    from mioc_tpu.utils.checks import assert_admissible
+
+    assert_admissible(x0[:, 2:], Mixed.admissible)
+    # Exactly `jumps` switches.
+    switches = (np.abs(np.diff(x0[:, 2:], axis=0)).sum(axis=1) > 0).sum()
+    assert switches <= 10
