@@ -109,3 +109,26 @@ def test_multistart_solve_picks_best():
     )
     assert best.J == min(r.J for r in results)
     assert all(r.converged for r in results)
+
+
+def test_temporal_dp_with_sharded_time_axis():
+    """The associative-scan DP compiles and executes with the TIME axis of its
+    inputs sharded across devices (sequence/context parallelism analogue)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    adm = bounded_sum_levels([[0, 1], [0, 1], [0, 1]], 1, 1)
+    rng = np.random.default_rng(0)
+    nt, B, tau = 16, 4, 0.1
+    grad = jnp.asarray(rng.normal(size=(nt, 3)))
+    u_old = jnp.asarray(adm.levels[rng.integers(0, 3, size=nt)])
+    levels = jnp.asarray(adm.levels)
+    jump = jnp.asarray(jump_cost_table(adm.levels, p=1, beta=0.2))
+
+    u_ref, idx_ref, _ = temporal_dp_solve(grad, u_old, levels, jump, tau, B)
+
+    mesh = make_device_mesh(batch=jax.device_count(), level=1)
+    sh_t = NamedSharding(mesh, P("batch"))  # shard the nt axis
+    grad_s = jax.device_put(grad, sh_t)
+    u_old_s = jax.device_put(u_old, sh_t)
+    u_s, idx_s, _ = temporal_dp_solve(grad_s, u_old_s, levels, jump, tau, B)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_ref))
