@@ -41,8 +41,33 @@ def cpp_baseline_seconds():
     return float(out.stdout.strip())
 
 
+def _accelerator_usable(probe_timeout=150) -> bool:
+    """Probe the configured JAX platform in a SUBPROCESS: a wedged TPU tunnel
+    hangs backend init forever, which must not hang the benchmark driver."""
+    code = "import jax, jax.numpy as jnp; print(jax.jit(lambda x: x + 1)(jnp.ones(4))[0])"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=probe_timeout,
+            capture_output=True,
+            text=True,
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def jax_dp_seconds():
+    if not _accelerator_usable():
+        # Fall back to CPU so the benchmark always reports something.
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        print("# accelerator unreachable; benchmarking on CPU", file=sys.stderr)
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
