@@ -2,8 +2,9 @@ from .fishing import LVMObj
 from .vanderpol import VPOObj
 from .doubletank import DTMObj
 from .convolution import ConvObj
+from .mixed_fishing import LVMMixedObj
 
-__all__ = ["LVMObj", "VPOObj", "DTMObj", "ConvObj", "HeatObj"]
+__all__ = ["LVMObj", "VPOObj", "DTMObj", "ConvObj", "HeatObj", "LVMMixedObj"]
 
 
 def __getattr__(name):

@@ -1,7 +1,11 @@
 from .trm import TRM, TRMParameters, TRMResult, trm_solve
 from .trm_device import make_device_trm, multistart_solve_device, trm_solve_device
+from .mixed import MixedParameters, MixedResult, mixed_solve
 
 __all__ = [
+    "MixedParameters",
+    "MixedResult",
+    "mixed_solve",
     "make_device_trm",
     "multistart_solve_device",
     "trm_solve_device",
