@@ -186,3 +186,43 @@ def test_huge_budget_equals_unconstrained_viterbi():
         jump[idx[i], idx[i + 1]] for i in range(nt - 1)
     )
     np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    nt=st.integers(2, 7),
+    B=st.integers(0, 8),
+    p=st.sampled_from([1, 2, np.inf]),
+    sos1=st.booleans(),
+)
+def test_dp_matches_brute_force_property(seed, nt, B, p, sos1):
+    """Property-based variant of the DP-vs-brute-force check: random tiny
+    instances across admissible-set types, budgets and norms."""
+    rng = np.random.default_rng(seed)
+    s = (
+        bounded_sum_levels([[0, 1], [0, 1]], 1, 1)
+        if sos1
+        else product_levels([[-1, 0, 1]])
+    )
+    grad = jnp.asarray(rng.normal(size=(nt, s.M)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, s.L, size=nt)])
+    jump = jump_cost_table(s.levels, p=p, beta=float(rng.uniform(0, 0.6)))
+    tau = float(rng.uniform(0.01, 0.3))
+
+    u, idx, _ = dp_solve(grad, u_old, s.levels, jnp.asarray(jump), tau, B)
+    stage, btilde = stage_tables(grad, u_old, jnp.asarray(s.levels), tau)
+    stage, btilde = np.asarray(stage), np.asarray(btilde)
+    ref_cost, _ = brute_force(stage, btilde, jump, B)
+    got_cost, got_budget = path_cost(stage, btilde, jump, np.asarray(idx))
+    assert got_budget <= B
+    np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-10)
