@@ -29,7 +29,7 @@ from jax import lax
 
 from ..ops.bellman import stage_tables
 
-__all__ = ["temporal_dp_solve"]
+__all__ = ["temporal_tables", "temporal_backtrack", "temporal_dp_solve"]
 
 
 def _minplus_matmul(A, Bm):
@@ -38,16 +38,10 @@ def _minplus_matmul(A, Bm):
 
 
 @partial(jax.jit, static_argnames=("B",))
-def temporal_dp_solve(grad, u_old, levels, jump_cost, tau, B: int):
-    """Solve the trust-region subproblem via associative min-plus scan.
-
-    Same semantics as :func:`mioc_tpu.ops.bellman.dp_solve`; returns
-    ``(u, level_idx, phis)`` where ``phis[i]`` is the suffix value table at
-    time ``i`` (shape ``(nt, B+1, L)``).
-    """
-    nt, L = grad.shape[0], levels.shape[0]
+def temporal_tables(stage, btilde, jump_cost, B: int):
+    """All suffix value tables ``phis (nt, B+1, L)`` via associative scan."""
+    nt, L = stage.shape
     S = (B + 1) * L
-    stage, btilde = stage_tables(grad, u_old, levels, tau)
     b = jnp.arange(B + 1, dtype=jnp.int32)
 
     # Per-step operator T_i[(b,l), (b',j)] for i = 0 … nt-2:
@@ -74,11 +68,19 @@ def temporal_dp_solve(grad, u_old, levels, jump_cost, tau, B: int):
     phis = jnp.concatenate(
         [jnp.min(Ps + phi_T[None, None, :], axis=-1), phi_T[None]]
     )  # (nt, S): Φ_i for i = 0 … nt-1
+    return phis.reshape(nt, B + 1, L)
 
-    # Path extraction from the value tables (greedy argmin, identical
-    # tie-breaking to the sequential backtrack).
-    phi0 = phis[0].reshape(B + 1, L)
-    masked = jnp.where(b[:, None] <= B, phi0, jnp.inf)
+
+@jax.jit
+def temporal_backtrack(phis, btilde, jump_cost, levels, B_new):
+    """Path extraction from the suffix value tables (greedy argmin, identical
+    tie-breaking to the sequential backtrack).  ``B_new`` is traced, so
+    trust-region halvings reuse the same ``phis``."""
+    nt, B1, L = phis.shape
+    B = B1 - 1
+    b = jnp.arange(B1, dtype=jnp.int32)
+    phi0 = phis[0]
+    masked = jnp.where(b[:, None] <= B_new, phi0, jnp.inf)
     flat = jnp.argmin(masked.T.reshape(-1))  # b fastest within l
     l0 = (flat // (B + 1)).astype(jnp.int32)
     b0 = (flat % (B + 1)).astype(jnp.int32)
@@ -88,11 +90,24 @@ def temporal_dp_solve(grad, u_old, levels, jump_cost, tau, B: int):
         phi_next, btilde_i = xs
         # Successor: argmin_j jump[l, j] + Φ_{i+1}[b − b̃_i[l], j]
         b_rem = bb - btilde_i[l]
-        cand = jump_cost[l] + phi_next.reshape(B + 1, L)[b_rem]
+        cand = jump_cost[l] + phi_next[b_rem]
         nl = jnp.argmin(cand).astype(jnp.int32)
         return (nl, b_rem), nl
 
     _, ls = lax.scan(chase, (l0, b0), (phis[1:], btilde[:-1]))
     level_idx = jnp.concatenate([l0[None], ls])
-    u = jnp.asarray(levels, grad.dtype)[level_idx]
-    return u, level_idx, phis.reshape(nt, B + 1, L)
+    u = jnp.asarray(levels, phis.dtype)[level_idx]
+    return u, level_idx
+
+
+def temporal_dp_solve(grad, u_old, levels, jump_cost, tau, B: int):
+    """Solve the trust-region subproblem via associative min-plus scan.
+
+    Same semantics as :func:`mioc_tpu.ops.bellman.dp_solve`; returns
+    ``(u, level_idx, phis)`` with ``phis (nt, B+1, L)`` the suffix value
+    tables (reusable by :func:`temporal_backtrack` at smaller budgets).
+    """
+    stage, btilde = stage_tables(grad, u_old, levels, tau)
+    phis = temporal_tables(stage, btilde, jump_cost, B)
+    u, level_idx = temporal_backtrack(phis, btilde, jump_cost, levels, jnp.int32(B))
+    return u, level_idx, phis

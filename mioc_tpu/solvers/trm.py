@@ -73,6 +73,7 @@ class TRMParameters:
     log: bool = False        # print the iteration table
     compat_pinf: bool = False  # reproduce the reference's p=inf jump cost
     use_pallas: Optional[bool] = None  # fused DP kernel (None: auto on TPU)
+    dp_backend: Optional[str] = None   # "scan" | "pallas" | "temporal" (None: auto)
     metrics_path: Optional[str] = None  # jsonl per-iteration metrics
     checkpoint_path: Optional[str] = None  # npz snapshot per outer iteration
     resume_from: Optional[str] = None   # restart from a checkpoint npz
@@ -132,9 +133,38 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
 
     B = int(math.floor(par.delta0 / dt))
     smax = max_budget_use(adm.levels)
-    use_pallas = par.use_pallas if par.use_pallas is not None else pallas_supported()
-    dp_build = build_tables_pallas if use_pallas else build_tables
-    dp_backtrack = backtrack_pallas if use_pallas else backtrack
+    backend = par.dp_backend
+    if backend is None:
+        use_pallas = par.use_pallas if par.use_pallas is not None else pallas_supported()
+        backend = "pallas" if use_pallas else "scan"
+
+    if backend == "temporal":
+        from ..parallel.temporal import temporal_backtrack, temporal_tables
+
+        def dp_build(stage, btilde):
+            return (temporal_tables(stage, btilde, jump, B),)
+
+        def dp_backtrack(tables, btilde, B_new):
+            return temporal_backtrack(tables[0], btilde, jump, levels, B_new)
+
+        def dp_sync(tables):
+            tables[0].block_until_ready()
+    elif backend in ("scan", "pallas"):
+        build_fn = build_tables_pallas if backend == "pallas" else build_tables
+
+        def dp_build(stage, btilde):
+            return build_fn(stage, btilde, jump, B, smax)
+
+        bt_fn = backtrack_pallas if backend == "pallas" else backtrack
+
+        def dp_backtrack(tables, btilde, B_new):
+            U, phi0 = tables
+            return bt_fn(U, phi0, btilde, levels, B_new)
+
+        def dp_sync(tables):
+            tables[1].block_until_ready()
+    else:
+        raise ValueError(f"Unknown dp_backend {backend!r}")
 
     timers = {"dp": 0.0, "backtrack": 0.0, "f": 0.0, "df": 0.0}
     log = IterationLog(enabled=par.log, metrics_path=par.metrics_path)
@@ -174,23 +204,23 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
         timed("df", obj.eval_df_)
         grad = obj.df
 
-        stage = btilde = U = phi0 = None
+        btilde = tables = None
 
         while ared < par.sigma * pred and k <= par.kmax:
             if halved:
                 B_new = int(math.floor(delta_k / dt))
                 u, _ = timed(
-                    "backtrack", dp_backtrack, U, phi0, btilde, levels, jnp.int32(B_new)
+                    "backtrack", dp_backtrack, tables, btilde, jnp.int32(B_new)
                 )
             else:
                 t0 = time.perf_counter()
                 stage, btilde = stage_tables(grad, u_old, levels, dt)
-                U, phi0 = dp_build(stage, btilde, jump, B, smax)
-                phi0.block_until_ready()
+                tables = dp_build(stage, btilde)
+                dp_sync(tables)
                 timers["dp"] += time.perf_counter() - t0
                 dp_builds += 1
                 u, _ = timed(
-                    "backtrack", dp_backtrack, U, phi0, btilde, levels, jnp.int32(B)
+                    "backtrack", dp_backtrack, tables, btilde, jnp.int32(B)
                 )
 
             if par.debug_checks:

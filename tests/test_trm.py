@@ -134,3 +134,18 @@ def test_checkpoint_resume(tmp_path):
     assert r2.converged
     # Resuming from a partially-converged control can only do as well or better.
     assert r2.J <= r1.J + 1e-12
+
+
+def test_temporal_backend_matches_scan():
+    """dp_backend='temporal' produces the same solve as the default scan path
+    (identical subproblem optima; tiny budget keeps the operators small)."""
+    obj_a, obj_b = LVMObj(nt=120), LVMObj(nt=120)
+    from mioc_tpu.utils.init import rand_func
+
+    x0 = rand_func(obj_a, seed=5)
+    pa = TRMParameters(beta=1e-3, p=1, delta0=0.3)
+    ra = trm_solve(obj_a, pa, x0=x0)
+    pb = TRMParameters(beta=1e-3, p=1, delta0=0.3, dp_backend="temporal")
+    rb = trm_solve(obj_b, pb, x0=x0)
+    np.testing.assert_allclose(rb.J, ra.J, rtol=1e-10)
+    np.testing.assert_array_equal(rb.u, ra.u)
