@@ -19,6 +19,7 @@ import numpy as np
 # Per-problem presets (multi-trust.jl:181-198).
 PRESETS = {
     "fishing": dict(beta=1e-4, delta0=2.0, p=np.inf),
+    "mixed": dict(beta=1e-4, delta0=2.0, p=np.inf),
     "doubletank": dict(beta=1e-5, delta0=2.0, p=np.inf),
     "vanderpol": dict(beta=0.1, delta0=1.0, p=np.inf),
     "convolution": dict(beta=1e-4, delta0=0.125, p=1),
@@ -39,6 +40,8 @@ def build_objective(problem: str, n: int):
         return models.ConvObj(nt=n)
     if problem == "heat":
         return models.HeatObj(nt=n)
+    if problem == "mixed":
+        return models.LVMMixedObj(nt=n)
     raise SystemExit(f'I do not know the problem "{problem}".')
 
 
@@ -78,6 +81,24 @@ def main(argv=None):
     )
 
     t0 = time.time()
+    if args.problem == "mixed":
+        from .solvers.mixed import MixedParameters, mixed_solve
+
+        obj = build_objective(args.problem, args.n)
+        mres = mixed_solve(obj, MixedParameters(trm=par), seed=args.seed)
+        wall = time.time() - t0
+        print(f"{wall:.3f} seconds")
+        print(f"Objective Value: J = {mres.J}")
+        print(json.dumps({
+            "problem": "mixed", "n": args.n, "J": mres.J,
+            "rounds": mres.rounds, "converged": mres.converged,
+            "wall_s": round(wall, 3),
+        }))
+        if not args.no_plot:
+            from .utils.plotting import plot_results
+
+            print(f"plot saved to {plot_results(obj)}")
+        return 0
     if args.device_loop:
         import numpy as _np
 

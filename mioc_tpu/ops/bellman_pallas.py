@@ -200,7 +200,7 @@ def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),   # U stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # U stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
