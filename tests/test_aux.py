@@ -244,3 +244,18 @@ def test_rand_func_cont_and_mixed():
     # Exactly `jumps` switches.
     switches = (np.abs(np.diff(x0[:, 2:], axis=0)).sum(axis=1) > 0).sum()
     assert switches <= 10
+
+
+def test_plot_results_raw_objective(tmp_path):
+    """plot_results dispatches on objective type; raw (no-ODE) path
+    (HelpFunctions.jl:344-350)."""
+    from mioc_tpu.models import ConvObj
+    from mioc_tpu.utils.plotting import plot_results
+
+    obj = ConvObj(nt=64)
+    obj.x = jnp.ones((64, 1))
+    obj.eval_fdf_()
+    out = plot_results(obj, filename=str(tmp_path / "c.png"),
+                       data_dir=str(tmp_path / "d"))
+    assert os.path.exists(out)
+    assert os.path.exists(tmp_path / "d" / "v(1).dat")

@@ -226,3 +226,39 @@ def test_dp_matches_brute_force_property(seed, nt, B, p, sos1):
     got_cost, got_budget = path_cost(stage, btilde, jump, np.asarray(idx))
     assert got_budget <= B
     np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-10)
+
+
+def test_pallas_kernels_interpret_L36():
+    """Kernel regression at the heat-scale level count (Lp padding = 40,
+    unrolled 36-way contraction) in interpret mode, including the device-side
+    backtrack for several budgets."""
+    from mioc_tpu.ops.backtrack_pallas import backtrack_pallas
+    from mioc_tpu.ops.bellman import build_tables, max_budget_use
+    from mioc_tpu.ops.bellman_pallas import build_tables_pallas
+
+    s = product_levels([[0, 1, 2, 3, 4, 5]] * 2)
+    rng = np.random.default_rng(2)
+    nt, B, tau = 20, 12, 0.1
+    grad = jnp.asarray(rng.normal(size=(nt, 2)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, 36, size=nt)])
+    levels = jnp.asarray(s.levels)
+    jump = jnp.asarray(jump_cost_table(s.levels, p=2, beta=1e-3))
+    smax = max_budget_use(s.levels)
+    stage, btilde = stage_tables(grad, u_old, levels, tau)
+
+    U_s, phi_s = build_tables(stage, btilde, jump, B, smax)
+    U_p, phi_p = build_tables_pallas(stage, btilde, jump, B, smax, interpret=True)
+    # The kernel computes in f32 (TPU layout); compare accordingly.
+    np.testing.assert_allclose(
+        np.asarray(phi_p)[:36, : B + 1], np.asarray(phi_s), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(U_p)[:, :36, : B + 1], np.asarray(U_s)
+    )
+    for Bn in [B, 5, 0]:
+        i_s = np.asarray(backtrack(U_p, phi_p, btilde, levels, jnp.int32(Bn))[1])
+        i_k = np.asarray(
+            backtrack_pallas(U_p, phi_p, btilde, levels, jnp.int32(Bn),
+                             interpret=True)[1]
+        )
+        np.testing.assert_array_equal(i_s, i_k)
