@@ -24,6 +24,9 @@ PRESETS = {
     "vanderpol": dict(beta=0.1, delta0=1.0, p=np.inf),
     "convolution": dict(beta=1e-4, delta0=0.125, p=1),
     "heat": dict(beta=1e-3, delta0=2.0, p=2),
+    # Not in the reference's main(): its .gitignore:7-11 withholds the fuller
+    # example; preset chosen so the TRM resolves the chattering arc.
+    "fuller": dict(beta=1e-4, delta0=0.1, p=1),
 }
 
 
@@ -42,6 +45,8 @@ def build_objective(problem: str, n: int):
         return models.HeatObj(nt=n)
     if problem == "mixed":
         return models.LVMMixedObj(nt=n)
+    if problem == "fuller":
+        return models.FullerObj(nt=n)
     raise SystemExit(f'I do not know the problem "{problem}".')
 
 

@@ -2,9 +2,12 @@ from .fishing import LVMObj
 from .vanderpol import VPOObj
 from .doubletank import DTMObj
 from .convolution import ConvObj
+from .fuller import FullerObj
 from .mixed_fishing import LVMMixedObj
 
-__all__ = ["LVMObj", "VPOObj", "DTMObj", "ConvObj", "HeatObj", "LVMMixedObj"]
+__all__ = [
+    "LVMObj", "VPOObj", "DTMObj", "ConvObj", "HeatObj", "LVMMixedObj", "FullerObj",
+]
 
 
 def __getattr__(name):

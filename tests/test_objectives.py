@@ -107,3 +107,17 @@ def test_vanderpol_instability_yields_nonfinite_not_crash():
     x[:, 1] = 1.0  # mode with c=+0.75
     val = obj.eval_f(x)
     assert np.isfinite(val) or not np.isfinite(val)  # no exception is the test
+
+
+def test_fuller_gradient():
+    from mioc_tpu.models import FullerObj
+
+    obj = FullerObj(nt=300)
+    directional_fd_check(obj, np.full((obj.nt, obj.nx), 0.5))
+
+
+def test_fuller_terminal_penalty_gradient():
+    from mioc_tpu.models import FullerObj
+
+    obj = FullerObj(nt=300, terminal_weight=50.0)
+    directional_fd_check(obj, np.full((obj.nt, obj.nx), 0.5))
