@@ -44,6 +44,14 @@ def construct_mesh(hmax=1.0, refinements=3):
     return mesh
 
 
+def construct_mesh_hierarchy(hmax=1.0, refinements=3):
+    """Coarse→fine uniform-refinement chain (for the multigrid PDE solver)."""
+    meshes = [mesh_library("squareg", hmax)]
+    for _ in range(refinements):
+        meshes.append(refine_all_cells(meshes[-1]))
+    return meshes
+
+
 class HeatObj(PDEObjective):
     # Device arrays read by the cost hooks — threaded into the jitted sweeps
     # as arguments (see PDEObjective._ops).
@@ -67,12 +75,25 @@ class HeatObj(PDEObjective):
         gamma=10.0,
         x1=(-1.0, 0.0),
         x2=(1.0, 0.0),
+        solver: str = "dense",
+        cg_iters: int = 40,
+        mesh_hierarchy=None,
         dtype=None,
     ):
         V = [[0, 1, 2, 3, 4, 5], [0, 1, 2, 3, 4, 5]]
         adm = product_levels(V)  # no restriction (example_heat.jl:44)
         super().__init__(T0=0.0, T1=10.0, nt=nt, V=V, admissible=adm, dtype=dtype)
 
+        if solver == "mg" and mesh_hierarchy is None:
+            if mesh is not None:
+                raise ValueError(
+                    "solver='mg' needs the refinement chain: pass "
+                    "mesh_hierarchy=[coarse, …, fine] instead of mesh"
+                )
+            mesh_hierarchy = construct_mesh_hierarchy()
+        if mesh_hierarchy is not None:
+            mesh = mesh_hierarchy[-1]
+        self._mesh_hierarchy = mesh_hierarchy
         self.mesh = mesh if mesh is not None else construct_mesh()
         self.fe = fe if fe is not None else FE_Lagrange(2)
         self.gamma = float(gamma)
@@ -110,20 +131,39 @@ class HeatObj(PDEObjective):
 
         # Target temperature distribution (assemble_yd, example_heat.jl:130-132).
         self.yd = jnp.full((N,), self.tempT, dtype=self.dtype)
-        self._Mj = jnp.asarray(M.toarray(), dtype=self.dtype)
+        if solver in ("cg", "mg"):
+            # Matrix-free large-mesh path: the tracking cost's mass matrix in
+            # ELL sparse form (the dense _Mj would be the O(N²) bottleneck).
+            from ..fem.sparse_device import to_ell
 
-        self.setup_operators(M, A, F, state0)
+            Mjv, Mjc = to_ell(M, dtype=self.dtype)
+            self._Mjv, self._Mjc = jnp.asarray(Mjv), jnp.asarray(Mjc)
+            self._extra_op_names = ("_Mjv", "_Mjc", "yd")
+        else:
+            self._Mj = jnp.asarray(M.toarray(), dtype=self.dtype)
+
+        self.setup_operators(
+            M, A, F, state0, mode=solver, cg_iters=cg_iters,
+            mg_meshes=self._mesh_hierarchy, mg_fe=self.fe,
+        )
+
+    def _mass_apply(self, v):
+        if getattr(self, "solver_mode", "dense") != "dense":
+            from ..fem.sparse_device import ell_matvec
+
+            return ell_matvec(self._Mjv, self._Mjc, v)
+        return self._Mj @ v
 
     # Costs (example_heat.jl:135-161).
     def G(self, y, u, i):
         v = y - self.yd
-        return 0.5 * v @ (self._Mj @ v)
+        return 0.5 * v @ self._mass_apply(v)
 
     def G_t(self, u, i):
         return self.gamma * jnp.sum(u)
 
     def Gy(self, y, u, i):
-        return self._Mj @ (y - self.yd)
+        return self._mass_apply(y - self.yd)
 
     def Gu(self, u, i):
         return self.gamma * jnp.ones(self.nx, self.dtype)

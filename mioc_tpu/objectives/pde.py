@@ -79,34 +79,73 @@ class PDEObjective(LazyObjective):
         self.adjoint = None  # (nt+1, N): λ_0-based, λ[nt] = 0
 
     # -- operator precompute ---------------------------------------------------
-    def setup_operators(self, M, A, F, state0):
-        """Precompute the dense sweep operators (example_heat.jl:111-115 and
-        calculate_M_inv*, :242-262) and compile the scans."""
+    def setup_operators(self, M, A, F, state0, *, mode: str = "dense",
+                        cg_iters: int = 40, mg_meshes=None, mg_fe=None):
+        """Precompute the sweep operators and compile the scans.
+
+        ``mode="dense"`` (default): dense inverse ``S⁻¹ = (I + τM⁻¹A)⁻¹``
+        once at model build (example_heat.jl:111-115 and calculate_M_inv*,
+        :242-262) — both sweeps become scans of (N, N)·(N,) MXU matmuls.
+        Ideal for the reference's O(10³)-dof meshes; O(N²) memory.
+
+        ``mode="cg"``: matrix-free.  ``K = M + τA`` and ``M`` are stored in
+        ELL sparse form on device and each implicit-Euler step solves
+        ``K y = M y_prev + τ F u`` with ``cg_iters`` Jacobi-preconditioned CG
+        iterations warm-started from the previous step (identical
+        discretization: ``S⁻¹v ≡ K⁻¹Mv``, ``S⁻ᵀv ≡ M K⁻¹v``).  O(nnz) memory
+        — the large-mesh scale-out path with no reference counterpart.
+
+        ``mode="mg"``: as ``"cg"`` but preconditioned by a geometric
+        multigrid V-cycle over ``mg_meshes`` (the coarse→fine refinement
+        hierarchy, finest = the assembly mesh) with FE ``mg_fe`` — CG
+        iteration counts become h-independent (see :mod:`..fem.multigrid`),
+        so ``cg_iters`` can stay small (~8-16) on arbitrarily fine meshes.
+        """
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
 
+        if mode not in ("dense", "cg", "mg"):
+            raise ValueError(f"unknown operator mode {mode!r}")
+        if mode == "mg" and (mg_meshes is None or mg_fe is None):
+            raise ValueError("mode='mg' needs mg_meshes (coarse→fine) and mg_fe")
         N = F.shape[0]
         self.Nglobal_dofs = N
+        self.solver_mode = mode
+        self.cg_iters = int(cg_iters)
         Mc = sp.csc_matrix(M)
         solve_M = spla.factorized(Mc)
-        A_d = A.toarray() if sp.issparse(A) else np.asarray(A)
-        M_invA = np.column_stack([solve_M(A_d[:, j]) for j in range(N)])
         M_invF = np.column_stack(
             [solve_M(np.asarray(F[:, j]).ravel()) for j in range(F.shape[1])]
         )
-        S = np.eye(N) + self.tau * M_invA
-        Sinv = np.linalg.inv(S)
 
         self.M = Mc
         self.A = A
         self.F = np.asarray(F)
         self.state0 = np.asarray(state0, dtype=self.dtype)
-        self.M_invA = np.asarray(M_invA, dtype=self.dtype)
         # Device-resident sweep operators: passed to the jitted sweeps as
         # explicit ARGUMENTS, never captured in closures (captured device
         # consts permanently degrade dispatch on the axon runtime).
         self.M_invF = jnp.asarray(M_invF, dtype=self.dtype)
-        self.Sinv = jnp.asarray(Sinv, dtype=self.dtype)
+        if mode == "dense":
+            A_d = A.toarray() if sp.issparse(A) else np.asarray(A)
+            M_invA = np.column_stack([solve_M(A_d[:, j]) for j in range(N)])
+            S = np.eye(N) + self.tau * M_invA
+            self.M_invA = np.asarray(M_invA, dtype=self.dtype)
+            self.Sinv = jnp.asarray(np.linalg.inv(S), dtype=self.dtype)
+        else:
+            from ..fem.sparse_device import to_ell
+
+            K = (Mc + self.tau * sp.csc_matrix(A)).tocsr()
+            Kv, Kc = to_ell(K, dtype=self.dtype)
+            Mv, Mcols = to_ell(Mc, dtype=self.dtype)
+            self._Kv, self._Kc = jnp.asarray(Kv), jnp.asarray(Kc)
+            self._Mv, self._Mc = jnp.asarray(Mv), jnp.asarray(Mcols)
+            self._dinv = jnp.asarray(1.0 / K.diagonal(), dtype=self.dtype)
+            self._Fdev = jnp.asarray(self.F, dtype=self.dtype)
+            if mode == "mg":
+                from ..fem.multigrid import build_mg_ops
+
+                self._mg_ops = build_mg_ops(mg_meshes, mg_fe, K, self.dtype)
         self._build()
 
     # -- user cost hooks -------------------------------------------------------
@@ -130,7 +169,17 @@ class PDEObjective(LazyObjective):
 
     @property
     def _ops(self):
-        ops = {"Sinv": self.Sinv, "M_invF": self.M_invF}
+        mode = getattr(self, "solver_mode", "dense")
+        if mode in ("cg", "mg"):
+            ops = {
+                "_Kv": self._Kv, "_Kc": self._Kc, "_Mv": self._Mv,
+                "_Mc": self._Mc, "_dinv": self._dinv, "_Fdev": self._Fdev,
+                "M_invF": self.M_invF,
+            }
+            if mode == "mg":
+                ops["_mg_ops"] = self._mg_ops
+        else:
+            ops = {"Sinv": self.Sinv, "M_invF": self.M_invF}
         for k in self._extra_op_names:
             ops[k] = getattr(self, k)
         return ops
@@ -157,15 +206,42 @@ class PDEObjective(LazyObjective):
             return
 
         tau, nt = self.tau, self.nt
+        mode = getattr(self, "solver_mode", "dense")
+        cg_mode = mode in ("cg", "mg")
+        if cg_mode:
+            from ..fem.sparse_device import cg_solve, ell_matvec
+
+            cg_iters = self.cg_iters
+            if mode == "mg":
+                from ..fem.multigrid import mg_apply
+
+                make_pc = lambda ops: (lambda r: mg_apply(ops["_mg_ops"], r))
+            else:
+                make_pc = lambda ops: ops["_dinv"]
 
         @jax.jit
         def forward(x, ops):
             with self._bound(ops):
-                Sinv, M_invF = ops["Sinv"], ops["M_invF"]
+                M_invF = ops["M_invF"]
+                if cg_mode:
+                    Kmv = lambda v: ell_matvec(ops["_Kv"], ops["_Kc"], v)
 
-                def step(y, u):
-                    ynew = Sinv @ (y + tau * (M_invF @ u))
-                    return ynew, ynew
+                    # y_k = K⁻¹(M y_{k-1} + τ F u_{k-1}) ≡ S⁻¹(y + τ M⁻¹F u),
+                    # warm-started at the previous state.
+                    pc = make_pc(ops)
+
+                    def step(y, u):
+                        rhs = ell_matvec(ops["_Mv"], ops["_Mc"], y) + tau * (
+                            ops["_Fdev"] @ u
+                        )
+                        ynew = cg_solve(Kmv, rhs, y, pc, cg_iters)
+                        return ynew, ynew
+                else:
+                    Sinv = ops["Sinv"]
+
+                    def step(y, u):
+                        ynew = Sinv @ (y + tau * (M_invF @ u))
+                        return ynew, ynew
 
                 _, ys = lax.scan(step, jnp.asarray(self.state0), x)
                 ys_all = jnp.concatenate([self.state0[None], ys])  # (nt+1, N)
@@ -180,14 +256,35 @@ class PDEObjective(LazyObjective):
         @jax.jit
         def adjoint(x, ys_all, ops):
             with self._bound(ops):
-                Sinv, M_invF = ops["Sinv"], ops["M_invF"]
-                SinvT = Sinv.T
+                M_invF = ops["M_invF"]
                 lamT = jnp.zeros(self.Nglobal_dofs, self.dtype)
+                if cg_mode:
+                    Kmv = lambda v: ell_matvec(ops["_Kv"], ops["_Kc"], v)
 
-                def bstep(lam, xs):
-                    y_next, u_next, w_next, k = xs
-                    newlam = SinvT @ (lam + tau * w_next * self.Gy(y_next, u_next, k))
-                    return newlam, newlam
+                    # S⁻ᵀ v = M K⁻¹ v (M, K symmetric); carry the raw K⁻¹
+                    # product as the next step's CG warm start.
+                    pc = make_pc(ops)
+
+                    def bstep(carry, xs):
+                        lam, t_prev = carry
+                        y_next, u_next, w_next, k = xs
+                        v = lam + tau * w_next * self.Gy(y_next, u_next, k)
+                        t = cg_solve(Kmv, v, t_prev, pc, cg_iters)
+                        newlam = ell_matvec(ops["_Mv"], ops["_Mc"], t)
+                        return (newlam, t), newlam
+
+                    bstep_init = (lamT, lamT)
+                else:
+                    SinvT = ops["Sinv"].T
+
+                    def bstep(lam, xs):
+                        y_next, u_next, w_next, k = xs
+                        newlam = SinvT @ (
+                            lam + tau * w_next * self.Gy(y_next, u_next, k)
+                        )
+                        return newlam, newlam
+
+                    bstep_init = lamT
 
                 # Exact discrete adjoint: sweep j = nt-1 … 0 with the (j+1)-th
                 # state/control and trapezoid weight (see module docstring).
@@ -195,7 +292,7 @@ class PDEObjective(LazyObjective):
                 w_next = jnp.where(k_next == nt, 0.5, 1.0).astype(self.dtype)
                 u_next = x[jnp.minimum(k_next, nt - 1)]
                 xs = (ys_all[1:][::-1], u_next[::-1], w_next[::-1], k_next[::-1])
-                _, lams_rev = lax.scan(bstep, lamT, xs)
+                _, lams_rev = lax.scan(bstep, bstep_init, xs)
                 lam = lams_rev[::-1]  # (nt, N): λ_0-based columns 0 … nt-1
 
                 df = lam @ M_invF  # (nt, nx): (M⁻¹F)ᵀ λ_j rowwise

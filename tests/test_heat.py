@@ -73,3 +73,52 @@ def test_heat_trm_solve():
     # value and the control uses high heat early.
     J_off = obj.eval_f(np.zeros((obj.nt, 2)))
     assert res.f < J_off
+
+
+def test_heat_cg_matches_dense(heat_small):
+    """Matrix-free CG sweeps reproduce the dense-inverse path (identical
+    discretization: S⁻¹v = K⁻¹Mv with K = M + τA) to near machine precision
+    on a mesh where plain Jacobi-CG converges."""
+    from mioc_tpu.models.heat import construct_mesh
+
+    a = heat_small
+    b = HeatObj(nt=40, mesh=construct_mesh(refinements=2), solver="cg",
+                cg_iters=80)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 6, size=(40, 2)).astype(float)
+    fa, fb = a.eval_f(x), b.eval_f(x)
+    assert abs(fa - fb) / abs(fa) < 1e-10
+    a.x = jnp.asarray(x); a.eval_f_(); a.eval_df_()
+    b.x = jnp.asarray(x); b.eval_f_(); b.eval_df_()
+    np.testing.assert_allclose(np.asarray(b.df), np.asarray(a.df), rtol=1e-8)
+
+
+def test_heat_multigrid_fd_gradient():
+    """MG-preconditioned CG (large-mesh path): few iterations suffice and the
+    adjoint stays consistent with the (inexactly solved) forward."""
+    from mioc_tpu.models.heat import construct_mesh_hierarchy
+
+    obj = HeatObj(nt=30, mesh_hierarchy=construct_mesh_hierarchy(refinements=3),
+                  solver="mg", cg_iters=10)
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 6, size=(30, 2)).astype(float)
+    obj.x = jnp.asarray(x)
+    f0 = obj.eval_f_()
+    obj.eval_df_()
+    h = rng.normal(size=x.shape)
+    dfh = obj.tau * float(jnp.sum(obj.df * h))
+    t = 1e-6
+    fd = (obj.eval_f(x + t * h) - f0) / t
+    assert abs(fd - dfh) / abs(dfh) < 1e-5
+
+
+def test_heat_multigrid_matches_dense():
+    from mioc_tpu.models.heat import construct_mesh_hierarchy
+
+    hier = construct_mesh_hierarchy(refinements=2)
+    a = HeatObj(nt=25, mesh=hier[-1])
+    b = HeatObj(nt=25, mesh_hierarchy=hier, solver="mg", cg_iters=10)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 6, size=(25, 2)).astype(float)
+    fa, fb = a.eval_f(x), b.eval_f(x)
+    assert abs(fa - fb) / abs(fa) < 1e-9
