@@ -33,7 +33,7 @@ def cpp_baseline_seconds():
             check=True,
         )
     out = subprocess.run(
-        [exe, str(NT), str(L), str(M), str(B), "3"],
+        [exe, str(NT), str(L), str(M), str(B), "7"],
         check=True,
         capture_output=True,
         text=True,

@@ -1,6 +1,7 @@
 """FEM layer tests: quadrature exactness, shape functions, mesh invariants,
 assembly correctness, prolongation, refinement (SURVEY.md §4)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse.linalg as spla
@@ -314,3 +315,52 @@ def test_klein_bottle_mesh():
     euler, area, _ = sanity_check(m)
     assert euler == 0  # Klein bottle
     assert area > 0 and np.isfinite(area)
+
+
+def test_ell_matvec_matches_scipy():
+    import scipy.sparse as sp
+    from mioc_tpu.fem.sparse_device import ell_matvec, to_ell
+
+    rng = np.random.default_rng(0)
+    A = sp.random(40, 40, density=0.12, random_state=1, format="csr")
+    A = A + sp.eye(40)
+    v, c = to_ell(A)
+    x = rng.normal(size=40)
+    np.testing.assert_allclose(np.asarray(ell_matvec(jnp.asarray(v), jnp.asarray(c), jnp.asarray(x))), A @ x, rtol=1e-12)
+
+
+def test_cg_solve_exact_on_spd():
+    from mioc_tpu.fem.sparse_device import cg_solve
+
+    rng = np.random.default_rng(1)
+    Q = rng.normal(size=(30, 30))
+    A = Q @ Q.T + 30 * np.eye(30)
+    b = rng.normal(size=30)
+    Aj = jnp.asarray(A)
+    x = cg_solve(lambda v: Aj @ v, jnp.asarray(b), jnp.zeros(30), jnp.asarray(1.0 / np.diag(A)), 60)
+    np.testing.assert_allclose(np.asarray(Aj @ x), b, atol=1e-9)
+
+
+def test_mg_vcycle_preconditions_stiffness():
+    """One V-cycle must reduce the K-residual by a large h-independent factor
+    on K = M + tau*A over a refinement hierarchy."""
+    from mioc_tpu.fem.assembly import area_integrator
+    from mioc_tpu.fem.fe import FE_Lagrange
+    from mioc_tpu.fem.mesh import mesh_library, refine_all_cells
+    from mioc_tpu.fem.multigrid import build_mg_ops, mg_apply
+    from mioc_tpu.fem.quadrature import quadrature_unit_triangle_area
+
+    fe = FE_Lagrange(2)
+    quad = quadrature_unit_triangle_area(3)
+    meshes = [mesh_library("squareg", 1.0)]
+    for _ in range(3):
+        meshes.append(refine_all_cells(meshes[-1]))
+    A, _ = area_integrator(meshes[-1], fe, quad, np.eye(2), None, None, None)
+    M, _ = area_integrator(meshes[-1], fe, quad, None, None, 1.0, None)
+    K = (M + 0.2 * A).tocsr()
+    ops = build_mg_ops(meshes, fe, K)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.normal(size=K.shape[0]))
+    z = mg_apply(ops, b)
+    res = np.linalg.norm(np.asarray(b) - K @ np.asarray(z)) / np.linalg.norm(np.asarray(b))
+    assert res < 0.2, res
