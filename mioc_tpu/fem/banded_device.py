@@ -1,0 +1,119 @@
+"""Block-banded sparse operators: the TPU-fast SpMV for the PDE sweeps.
+
+Gather-based sparse matvecs (ELL, :mod:`.sparse_device`) lower to per-element
+dynamic gathers on TPU — measured ~250× off the HBM speed-of-light on the
+axon v5e (BASELINE_SELF.md).  This module removes the gathers entirely:
+
+1. Reorder the dofs once, host-side, with reverse Cuthill-McKee: an FEM
+   matrix then has bandwidth O(√N), i.e. a handful of 128-wide **block
+   diagonals** (the heat mesh at 8k dofs: bandwidth 261 → 7 block diagonals).
+2. Pack the matrix into dense ``blocks (R, D, rb, cb)`` — block row ``r``
+   holds the block at block-column ``r·slope + offsets[d]``; missing blocks
+   are zero.  ``D`` is static and small.
+3. The matvec is then ``einsum('rdij,rdj->ri', blocks, windows(x))`` where
+   ``windows`` is a stack of D *static* slices of the zero-padded, reshaped
+   ``x`` — pure dense MXU/VPU work with contiguous HBM reads, no gather
+   anywhere in the compiled graph.
+
+Rectangular operators (multigrid prolongation/restriction) use the same
+representation with ``cb = rb·Nc/Nr`` so the block slope stays 1; coarse-level
+orderings are *derived from the fine RCM order* (sort coarse dofs by the mean
+fine-row index of their interpolation stencil), which keeps every level's K
+and every P/R banded simultaneously (measured: P needs 9 block diagonals,
+coarse K bandwidth 139 vs 133 under its own RCM).
+
+The packing (``BandedOp.spec``) is static Python data closed over at trace
+time; only the dense ``blocks`` array flows through jit as an argument.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BandedSpec", "pack_banded", "banded_matvec", "rcm_permutation",
+           "aligned_coarse_permutation"]
+
+
+class BandedSpec(NamedTuple):
+    """Static description of a block-banded packing (hashable; safe to close
+    over inside jitted sweeps)."""
+
+    nrows: int
+    ncols: int
+    rb: int          # row-block size
+    cb: int          # col-block size
+    offsets: tuple   # block-diagonal offsets d: block (r, r + d)
+    R: int           # number of row blocks
+    C: int           # number of col blocks
+
+
+def rcm_permutation(mat) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering (perm[i] = old index at new position)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    return np.asarray(reverse_cuthill_mckee(sp.csr_matrix(mat),
+                                            symmetric_mode=True))
+
+
+def aligned_coarse_permutation(P_finerows_permuted) -> np.ndarray:
+    """Order coarse dofs by the mean (already-permuted) fine-row index of
+    their prolongation column — keeps P banded AND gives the coarse level a
+    bandwidth-minimizing order consistent with the fine one."""
+    coo = P_finerows_permuted.tocoo()
+    Nc = P_finerows_permuted.shape[1]
+    sums = np.zeros(Nc)
+    cnts = np.zeros(Nc)
+    np.add.at(sums, coo.col, coo.row)
+    np.add.at(cnts, coo.col, 1)
+    return np.argsort(sums / np.maximum(cnts, 1), kind="stable")
+
+
+def pack_banded(mat, rb: int = 128, cb: int | None = None, dtype=np.float32):
+    """Pack a (reordered) scipy sparse matrix into block-banded form.
+
+    Returns ``(spec, blocks)`` with ``blocks`` a numpy ``(R, D, rb, cb)``
+    array.  ``cb`` defaults to ``rb`` scaled by the aspect ratio, rounded to
+    a multiple of 8 (sublane width), so the block slope is ~1 and the offset
+    set stays small.
+    """
+    import scipy.sparse as sp
+
+    coo = sp.coo_matrix(mat)
+    coo.sum_duplicates()
+    Nr, Nc = coo.shape
+    if cb is None:
+        cb = rb if Nc == Nr else max(8, int(round(rb * Nc / Nr / 8)) * 8)
+    R = -(-Nr // rb)
+    C = -(-Nc // cb)
+    br = coo.row // rb
+    bc = coo.col // cb
+    offs = np.unique(bc - br)
+    off_index = {int(d): k for k, d in enumerate(offs)}
+    blocks = np.zeros((R, len(offs), rb, cb), dtype=dtype)
+    k = np.fromiter((off_index[int(d)] for d in bc - br), dtype=np.int64,
+                    count=len(bc))
+    blocks[br, k, coo.row % rb, coo.col % cb] += coo.data
+    spec = BandedSpec(Nr, Nc, rb, cb, tuple(int(d) for d in offs), R, C)
+    return spec, blocks
+
+
+def banded_matvec(spec: BandedSpec, blocks, x):
+    """``y = A @ x`` for block-banded ``A``: D static slices + one batched
+    dense contraction.  ``spec`` must be the static Python object (closed
+    over at trace time); ``blocks`` may be a traced array."""
+    lo = -min(spec.offsets)
+    hi = max(spec.offsets)
+    # Pad x to whole column blocks, plus `lo` blocks in front and enough
+    # after so every window slice is in range.
+    xpad = jnp.zeros(((spec.R + lo + hi) * spec.cb,), dtype=x.dtype)
+    xpad = xpad.at[lo * spec.cb : lo * spec.cb + spec.ncols].set(x)
+    xb = xpad.reshape(spec.R + lo + hi, spec.cb)
+    win = jnp.stack(
+        [xb[lo + d : lo + d + spec.R] for d in spec.offsets], axis=1
+    )  # (R, D, cb)
+    y = jnp.einsum("rdij,rdj->ri", blocks, win)
+    return y.reshape(spec.R * spec.rb)[: spec.nrows]

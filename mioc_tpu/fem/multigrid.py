@@ -27,7 +27,7 @@ import numpy as np
 
 from .sparse_device import ell_matvec, to_ell
 
-__all__ = ["build_mg_ops", "mg_apply"]
+__all__ = ["build_mg_ops", "mg_apply", "build_mg_banded", "mg_apply_banded"]
 
 
 def build_mg_ops(meshes, fe, K_fine, dtype=np.float64):
@@ -86,6 +86,82 @@ def mg_apply(ops, b, *, omega: float = 0.6, nu: int = 2):
         ec = cycle(l + 1, rc)
         x = x + ell_matvec(L["Pv"], L["Pc"], ec)
         # Post-smooth (same ν: keeps the cycle symmetric ⇒ SPD for CG).
+        for _ in range(nu):
+            x = x + omega * L["dinv"] * (b - Kmv(x))
+        return x
+
+    return cycle(0, b)
+
+
+def build_mg_banded(meshes, fe, K_fine, perm_fine, dtype=np.float32):
+    """Block-banded variant of :func:`build_mg_ops` (the TPU path: no gathers,
+    see :mod:`.banded_device`).
+
+    ``K_fine`` is the finest-level SPD matrix in the ORIGINAL dof order;
+    ``perm_fine`` its RCM permutation (the caller keeps its whole sweep in
+    this permuted space).  Coarse-level orderings are derived per level with
+    :func:`.banded_device.aligned_coarse_permutation`, which keeps every K
+    and every P/R banded at once.
+
+    Returns ``(static, ops)``: ``static`` is hashable per-level packing
+    metadata to close over at trace time; ``ops`` the pytree of dense block
+    arrays to thread through jit as arguments.
+    """
+    import scipy.sparse as sp
+
+    from .banded_device import aligned_coarse_permutation, pack_banded
+    from .mesh import prolongation
+
+    Kp = sp.csr_matrix(K_fine)[perm_fine][:, perm_fine]
+    static, levels = [], []
+    for i in range(len(meshes) - 1, 0, -1):
+        P = sp.csr_matrix(prolongation(meshes[i - 1], meshes[i], fe))
+        if i == len(meshes) - 1:
+            P = P[perm_fine]
+        else:
+            P = P[perm_prev]
+        perm_prev = aligned_coarse_permutation(P)
+        Pp = sp.csr_matrix(P[:, perm_prev])
+        Kspec, Kblk = pack_banded(Kp, dtype=dtype)
+        Pspec, Pblk = pack_banded(Pp, dtype=dtype)
+        Rspec, Rblk = pack_banded(sp.csr_matrix(Pp.T), dtype=dtype)
+        static.append({"Kspec": Kspec, "Pspec": Pspec, "Rspec": Rspec})
+        levels.append(
+            {
+                "Kblk": jnp.asarray(Kblk),
+                "dinv": jnp.asarray(1.0 / Kp.diagonal(), dtype=dtype),
+                "Pblk": jnp.asarray(Pblk),
+                "Rblk": jnp.asarray(Rblk),
+            }
+        )
+        Kp = sp.csr_matrix(Pp.T @ Kp @ Pp)
+    ops = {
+        "levels": tuple(levels),
+        "coarse_inv": jnp.asarray(np.linalg.inv(Kp.toarray()), dtype=dtype),
+    }
+    return tuple(static), ops
+
+
+def mg_apply_banded(static, ops, b, *, omega: float = 0.6, nu: int = 2):
+    """V(ν,ν) cycle with block-banded operators (TPU path).  ``static`` must
+    be the Python metadata from :func:`build_mg_banded` (closed over at trace
+    time); ``ops`` the matching array pytree (a jit argument)."""
+    from .banded_device import banded_matvec
+
+    levels = ops["levels"]
+
+    def cycle(l, b):
+        if l == len(levels):
+            return ops["coarse_inv"] @ b
+        L, S = levels[l], static[l]
+        Kmv = lambda v: banded_matvec(S["Kspec"], L["Kblk"], v)
+        x = omega * L["dinv"] * b
+        for _ in range(nu - 1):
+            x = x + omega * L["dinv"] * (b - Kmv(x))
+        r = b - Kmv(x)
+        rc = banded_matvec(S["Rspec"], L["Rblk"], r)
+        ec = cycle(l + 1, rc)
+        x = x + banded_matvec(S["Pspec"], L["Pblk"], ec)
         for _ in range(nu):
             x = x + omega * L["dinv"] * (b - Kmv(x))
         return x

@@ -78,6 +78,7 @@ class HeatObj(PDEObjective):
         solver: str = "dense",
         cg_iters: int = 40,
         mesh_hierarchy=None,
+        sparse_format: str = "ell",
         dtype=None,
     ):
         V = [[0, 1, 2, 3, 4, 5], [0, 1, 2, 3, 4, 5]]
@@ -132,27 +133,37 @@ class HeatObj(PDEObjective):
         # Target temperature distribution (assemble_yd, example_heat.jl:130-132).
         self.yd = jnp.full((N,), self.tempT, dtype=self.dtype)
         if solver in ("cg", "mg"):
-            # Matrix-free large-mesh path: the tracking cost's mass matrix in
-            # ELL sparse form (the dense _Mj would be the O(N²) bottleneck).
-            from ..fem.sparse_device import to_ell
+            # Matrix-free large-mesh path: the tracking cost applies the mass
+            # matrix sparsely (the dense _Mj would be the O(N²) bottleneck).
+            # The banded engine's permuted M (PDEObjective._Mblk) is reused
+            # directly — yd is spatially uniform, so the permuted tracking
+            # cost is identical.
+            if sparse_format == "banded":
+                self._extra_op_names = ("yd",)
+            else:
+                from ..fem.sparse_device import to_ell
 
-            Mjv, Mjc = to_ell(M, dtype=self.dtype)
-            self._Mjv, self._Mjc = jnp.asarray(Mjv), jnp.asarray(Mjc)
-            self._extra_op_names = ("_Mjv", "_Mjc", "yd")
+                Mjv, Mjc = to_ell(M, dtype=self.dtype)
+                self._Mjv, self._Mjc = jnp.asarray(Mjv), jnp.asarray(Mjc)
+                self._extra_op_names = ("_Mjv", "_Mjc", "yd")
         else:
             self._Mj = jnp.asarray(M.toarray(), dtype=self.dtype)
 
         self.setup_operators(
             M, A, F, state0, mode=solver, cg_iters=cg_iters,
-            mg_meshes=self._mesh_hierarchy, mg_fe=self.fe,
+            mg_meshes=self._mesh_hierarchy, mg_fe=self.fe, fmt=sparse_format,
         )
 
     def _mass_apply(self, v):
-        if getattr(self, "solver_mode", "dense") != "dense":
-            from ..fem.sparse_device import ell_matvec
+        if getattr(self, "solver_mode", "dense") == "dense":
+            return self._Mj @ v
+        if self.sparse_format == "banded":
+            from ..fem.banded_device import banded_matvec
 
-            return ell_matvec(self._Mjv, self._Mjc, v)
-        return self._Mj @ v
+            return banded_matvec(self._Mspec, self._Mblk, v)
+        from ..fem.sparse_device import ell_matvec
+
+        return ell_matvec(self._Mjv, self._Mjc, v)
 
     # Costs (example_heat.jl:135-161).
     def G(self, y, u, i):

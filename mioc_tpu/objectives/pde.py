@@ -80,7 +80,8 @@ class PDEObjective(LazyObjective):
 
     # -- operator precompute ---------------------------------------------------
     def setup_operators(self, M, A, F, state0, *, mode: str = "dense",
-                        cg_iters: int = 40, mg_meshes=None, mg_fe=None):
+                        cg_iters: int = 40, mg_meshes=None, mg_fe=None,
+                        fmt: str = "ell"):
         """Precompute the sweep operators and compile the scans.
 
         ``mode="dense"`` (default): dense inverse ``S⁻¹ = (I + τM⁻¹A)⁻¹``
@@ -100,6 +101,15 @@ class PDEObjective(LazyObjective):
         hierarchy, finest = the assembly mesh) with FE ``mg_fe`` — CG
         iteration counts become h-independent (see :mod:`..fem.multigrid`),
         so ``cg_iters`` can stay small (~8-16) on arbitrarily fine meshes.
+
+        ``fmt`` selects the sparse engine for the cg/mg modes: ``"ell"``
+        (gather-based; fine on CPU) or ``"banded"`` (RCM-reordered block-
+        banded dense blocks — the TPU path, no gathers; see
+        :mod:`..fem.banded_device`).  With ``"banded"`` the whole sweep runs
+        in the permuted dof order: cost hooks receive permuted states,
+        ``self.state``/``self.adjoint`` are permuted, and
+        :meth:`unpermute_dofs` maps back (``self.dof_perm`` holds the
+        permutation).
         """
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
@@ -133,20 +143,52 @@ class PDEObjective(LazyObjective):
             self.M_invA = np.asarray(M_invA, dtype=self.dtype)
             self.Sinv = jnp.asarray(np.linalg.inv(S), dtype=self.dtype)
         else:
-            from ..fem.sparse_device import to_ell
-
             K = (Mc + self.tau * sp.csc_matrix(A)).tocsr()
-            Kv, Kc = to_ell(K, dtype=self.dtype)
-            Mv, Mcols = to_ell(Mc, dtype=self.dtype)
-            self._Kv, self._Kc = jnp.asarray(Kv), jnp.asarray(Kc)
-            self._Mv, self._Mc = jnp.asarray(Mv), jnp.asarray(Mcols)
-            self._dinv = jnp.asarray(1.0 / K.diagonal(), dtype=self.dtype)
-            self._Fdev = jnp.asarray(self.F, dtype=self.dtype)
-            if mode == "mg":
-                from ..fem.multigrid import build_mg_ops
+            self.sparse_format = fmt
+            if fmt == "banded":
+                from ..fem.banded_device import pack_banded, rcm_permutation
 
-                self._mg_ops = build_mg_ops(mg_meshes, mg_fe, K, self.dtype)
+                perm = rcm_permutation(K)
+                self.dof_perm = perm
+                self._dof_iperm = np.argsort(perm)
+                Kp = sp.csr_matrix(K)[perm][:, perm]
+                Mp = sp.csr_matrix(Mc)[perm][:, perm]
+                self._Kspec, Kblk = pack_banded(Kp, dtype=self.dtype)
+                self._Mspec, Mblk = pack_banded(Mp, dtype=self.dtype)
+                self._Kblk, self._Mblk = jnp.asarray(Kblk), jnp.asarray(Mblk)
+                self._dinv = jnp.asarray(1.0 / Kp.diagonal(), dtype=self.dtype)
+                self._Fdev = jnp.asarray(self.F[perm], dtype=self.dtype)
+                self.M_invF = jnp.asarray(M_invF[perm], dtype=self.dtype)
+                self.state0 = self.state0[perm]
+                if mode == "mg":
+                    from ..fem.multigrid import build_mg_banded
+
+                    self._mg_static, self._mg_ops = build_mg_banded(
+                        mg_meshes, mg_fe, K, perm, self.dtype
+                    )
+            elif fmt == "ell":
+                from ..fem.sparse_device import to_ell
+
+                Kv, Kc = to_ell(K, dtype=self.dtype)
+                Mv, Mcols = to_ell(Mc, dtype=self.dtype)
+                self._Kv, self._Kc = jnp.asarray(Kv), jnp.asarray(Kc)
+                self._Mv, self._Mc = jnp.asarray(Mv), jnp.asarray(Mcols)
+                self._dinv = jnp.asarray(1.0 / K.diagonal(), dtype=self.dtype)
+                self._Fdev = jnp.asarray(self.F, dtype=self.dtype)
+                if mode == "mg":
+                    from ..fem.multigrid import build_mg_ops
+
+                    self._mg_ops = build_mg_ops(mg_meshes, mg_fe, K, self.dtype)
+            else:
+                raise ValueError(f"unknown sparse format {fmt!r}")
         self._build()
+
+    def unpermute_dofs(self, arr):
+        """Map a dof-indexed array (last axis) from the banded engine's
+        internal RCM order back to the assembly order (no-op otherwise)."""
+        if getattr(self, "dof_perm", None) is None:
+            return arr
+        return np.asarray(arr)[..., self._dof_iperm]
 
     # -- user cost hooks -------------------------------------------------------
     def G(self, y, u, i):
@@ -171,11 +213,18 @@ class PDEObjective(LazyObjective):
     def _ops(self):
         mode = getattr(self, "solver_mode", "dense")
         if mode in ("cg", "mg"):
-            ops = {
-                "_Kv": self._Kv, "_Kc": self._Kc, "_Mv": self._Mv,
-                "_Mc": self._Mc, "_dinv": self._dinv, "_Fdev": self._Fdev,
-                "M_invF": self.M_invF,
-            }
+            if getattr(self, "sparse_format", "ell") == "banded":
+                ops = {
+                    "_Kblk": self._Kblk, "_Mblk": self._Mblk,
+                    "_dinv": self._dinv, "_Fdev": self._Fdev,
+                    "M_invF": self.M_invF,
+                }
+            else:
+                ops = {
+                    "_Kv": self._Kv, "_Kc": self._Kc, "_Mv": self._Mv,
+                    "_Mc": self._Mc, "_dinv": self._dinv, "_Fdev": self._Fdev,
+                    "M_invF": self.M_invF,
+                }
             if mode == "mg":
                 ops["_mg_ops"] = self._mg_ops
         else:
@@ -212,28 +261,50 @@ class PDEObjective(LazyObjective):
             from ..fem.sparse_device import cg_solve, ell_matvec
 
             cg_iters = self.cg_iters
-            if mode == "mg":
-                from ..fem.multigrid import mg_apply
+            if getattr(self, "sparse_format", "ell") == "banded":
+                from ..fem.banded_device import banded_matvec
 
-                make_pc = lambda ops: (lambda r: mg_apply(ops["_mg_ops"], r))
+                Kspec, Mspec = self._Kspec, self._Mspec
+                make_K = lambda ops: (
+                    lambda v: banded_matvec(Kspec, ops["_Kblk"], v)
+                )
+                make_M = lambda ops: (
+                    lambda v: banded_matvec(Mspec, ops["_Mblk"], v)
+                )
+                if mode == "mg":
+                    from ..fem.multigrid import mg_apply_banded
+
+                    mg_static = self._mg_static
+                    make_pc = lambda ops: (
+                        lambda r: mg_apply_banded(mg_static, ops["_mg_ops"], r)
+                    )
+                else:
+                    make_pc = lambda ops: ops["_dinv"]
             else:
-                make_pc = lambda ops: ops["_dinv"]
+                make_K = lambda ops: (
+                    lambda v: ell_matvec(ops["_Kv"], ops["_Kc"], v)
+                )
+                make_M = lambda ops: (
+                    lambda v: ell_matvec(ops["_Mv"], ops["_Mc"], v)
+                )
+                if mode == "mg":
+                    from ..fem.multigrid import mg_apply
+
+                    make_pc = lambda ops: (lambda r: mg_apply(ops["_mg_ops"], r))
+                else:
+                    make_pc = lambda ops: ops["_dinv"]
 
         @jax.jit
         def forward(x, ops):
             with self._bound(ops):
                 M_invF = ops["M_invF"]
                 if cg_mode:
-                    Kmv = lambda v: ell_matvec(ops["_Kv"], ops["_Kc"], v)
+                    Kmv, Mmv, pc = make_K(ops), make_M(ops), make_pc(ops)
 
                     # y_k = K⁻¹(M y_{k-1} + τ F u_{k-1}) ≡ S⁻¹(y + τ M⁻¹F u),
                     # warm-started at the previous state.
-                    pc = make_pc(ops)
-
                     def step(y, u):
-                        rhs = ell_matvec(ops["_Mv"], ops["_Mc"], y) + tau * (
-                            ops["_Fdev"] @ u
-                        )
+                        rhs = Mmv(y) + tau * (ops["_Fdev"] @ u)
                         ynew = cg_solve(Kmv, rhs, y, pc, cg_iters)
                         return ynew, ynew
                 else:
@@ -259,18 +330,16 @@ class PDEObjective(LazyObjective):
                 M_invF = ops["M_invF"]
                 lamT = jnp.zeros(self.Nglobal_dofs, self.dtype)
                 if cg_mode:
-                    Kmv = lambda v: ell_matvec(ops["_Kv"], ops["_Kc"], v)
+                    Kmv, Mmv, pc = make_K(ops), make_M(ops), make_pc(ops)
 
                     # S⁻ᵀ v = M K⁻¹ v (M, K symmetric); carry the raw K⁻¹
                     # product as the next step's CG warm start.
-                    pc = make_pc(ops)
-
                     def bstep(carry, xs):
                         lam, t_prev = carry
                         y_next, u_next, w_next, k = xs
                         v = lam + tau * w_next * self.Gy(y_next, u_next, k)
                         t = cg_solve(Kmv, v, t_prev, pc, cg_iters)
-                        newlam = ell_matvec(ops["_Mv"], ops["_Mc"], t)
+                        newlam = Mmv(t)
                         return (newlam, t), newlam
 
                     bstep_init = (lamT, lamT)
