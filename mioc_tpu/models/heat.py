@@ -56,6 +56,9 @@ class HeatObj(PDEObjective):
     # Device arrays read by the cost hooks — threaded into the jitted sweeps
     # as arguments (see PDEObjective._ops).
     _extra_op_names = ("_Mj", "yd")
+    # Cost-hook operators derived from the hashed params (M, tempT) — safe to
+    # exclude from the sweep-cache key (see PDEObjective._derived_fields).
+    _derived_fields = PDEObjective._derived_fields + ("_Mj", "_Mjv", "_Mjc", "yd")
 
     def __init__(
         self,

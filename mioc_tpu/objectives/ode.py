@@ -51,20 +51,46 @@ _NONPARAM_FIELDS = {
 }
 
 
+def _is_scipy_sparse(v) -> bool:
+    try:
+        import scipy.sparse as sp
+
+        return sp.issparse(v)
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def _params_key(obj) -> tuple:
     """Hashable signature of an objective's parameters.  Unhandled attribute
     types (e.g. device arrays a subclass stored directly) make the key unique
     per instance — caching is DISABLED rather than risking a collision that
-    would silently reuse another instance's compiled dynamics."""
+    would silently reuse another instance's compiled dynamics.
+
+    Fields listed in the class attribute ``_derived_fields`` are EXCLUDED:
+    they must be pure functions of the hashed parameters (e.g. the PDE sweep
+    operators derived from M/A/F/τ), so two instances agreeing on the key
+    are guaranteed to agree on them too.  Subclasses that store independent
+    device arrays must NOT list them there (they then disable caching, which
+    is the safe default)."""
+    derived = getattr(obj, "_derived_fields", ())
     items = []
     for k, v in sorted(obj.__dict__.items()):
-        if k in _NONPARAM_FIELDS:
+        if k in _NONPARAM_FIELDS or k in derived:
             continue
-        if isinstance(v, (bool, int, float, str)):
+        if _is_scipy_sparse(v):
+            c = v.tocsr()
+            items.append(
+                (k, "sp", c.shape, c.indptr.tobytes(), c.indices.tobytes(),
+                 c.data.tobytes())
+            )
+        elif isinstance(v, (bool, int, float, str)):
             items.append((k, v))
         elif isinstance(v, np.ndarray):
             items.append((k, v.dtype.str, v.shape, v.tobytes()))
         elif isinstance(v, (list, tuple)):
+            if all(isinstance(e, str) for e in v):
+                items.append((k, "strs", tuple(v)))
+                continue
             try:
                 a = np.asarray(v, dtype=np.float64)
                 items.append((k, a.shape, a.tobytes()))

@@ -65,6 +65,17 @@ class PDEObjective(LazyObjective):
 
     compat_skip_first_gu: bool = False
 
+    # Excluded from the sweep-cache parameter key (objectives/ode.py
+    # ``_params_key``): every field here is a pure function of the hashed
+    # parameters (M, A, F, state0, τ, mode, fmt, cg_iters — plus
+    # ``_banded_sig`` capturing the static packing).  Subclasses storing
+    # INDEPENDENT device arrays must not extend this list with them.
+    _derived_fields = (
+        "M_invF", "Sinv", "M_invA", "_Kv", "_Kc", "_Mv", "_Mc", "_dinv",
+        "_Fdev", "_Kblk", "_Mblk", "_Kspec", "_Mspec", "_mg_ops",
+        "_mg_static", "dof_perm", "_dof_iperm", "_mesh_hierarchy",
+    )
+
     def __init__(self, *, T0, T1, nt, nu=0, V=None, admissible=None, dtype=None):
         super().__init__()
         self.T0, self.T1, self.nt = float(T0), float(T1), int(nt)
@@ -166,6 +177,12 @@ class PDEObjective(LazyObjective):
                     self._mg_static, self._mg_ops = build_mg_banded(
                         mg_meshes, mg_fe, K, perm, self.dtype
                     )
+                # Hashable signature of the static packing the compiled
+                # sweeps close over (part of the sweep-cache key; the block
+                # arrays themselves are derived from M/A/F and excluded).
+                self._banded_sig = repr(
+                    (self._Kspec, self._Mspec, getattr(self, "_mg_static", None))
+                )
             elif fmt == "ell":
                 from ..fem.sparse_device import to_ell
 
