@@ -50,7 +50,21 @@ def build_objective(problem: str, n: int):
     raise SystemExit(f'I do not know the problem "{problem}".')
 
 
+def _ensure_backend():
+    """Fall back to an available JAX backend when ``JAX_PLATFORMS`` pins a
+    plugin that was never registered (e.g. the axon TPU tunnel with
+    ``PALLAS_AXON_POOL_IPS=`` set to skip it)."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+
+
 def main(argv=None):
+    _ensure_backend()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("problem", nargs="?", default="fishing",
                     choices=sorted(PRESETS))

@@ -196,7 +196,8 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
     return run
 
 
-def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None):
+def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
+                     use_pallas: Optional[bool] = None):
     """One device-resident TRM solve; returns a host-side summary dict plus
     the accepted control (single readback at the end)."""
     from .trm import TRMParameters
@@ -204,7 +205,7 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None):
     par = par or TRMParameters()
     if x0 is None:
         x0 = rand_func(obj, seed=seed)
-    run = make_device_trm(obj, par)
+    run = make_device_trm(obj, par, use_pallas=use_pallas)
     res = run(x0)
     res = jax.device_get(res)
     return res
