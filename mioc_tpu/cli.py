@@ -83,6 +83,10 @@ def main(argv=None):
     ap.add_argument("--device-loop", action="store_true",
                     help="run the whole TRM inside one jit (no per-step host "
                          "sync; batches multistart with vmap)")
+    ap.add_argument("--device-chunk", type=int, default=None,
+                    help="segment the device loop into dispatches of N outer "
+                         "iterations (bounds single-dispatch runtime for "
+                         "large PDE solves; exact)")
     args = ap.parse_args(argv)
 
     from .solvers.trm import TRMParameters, trm_solve
@@ -141,7 +145,8 @@ def main(argv=None):
             best = int(_np.argmin(batch.J))
             dev = type(batch)(*[leaf[best] for leaf in batch])
         else:
-            dev = trm_solve_device(obj, par, seed=args.seed)
+            dev = trm_solve_device(obj, par, seed=args.seed,
+                                   outer_chunk=args.device_chunk)
         from .solvers.trm import TRMResult
 
         res = TRMResult(

@@ -48,12 +48,22 @@ class DeviceTRMResult(NamedTuple):
 _DEVICE_TRM_CACHE: dict = {}
 
 
-def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
+def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
+                    outer_chunk: Optional[int] = None):
     """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
     parameters ``par`` (a TRMParameters).  The returned function contains the
     full TRM; vmap it for batched multistart (``use_pallas=False`` there —
     the fused kernels are not batched).  Compiled solvers are cached per
-    (objective parameters, solver parameters) like the sweep cache."""
+    (objective parameters, solver parameters) like the sweep cache.
+
+    ``outer_chunk`` segments the solve into dispatches of at most that many
+    outer iterations (the carry stays on device; only the stop flag and the
+    iteration counter are read back between segments).  Use it for solves
+    whose single-dispatch runtime is minutes — e.g. large PDE meshes — where
+    one monolithic dispatch can exceed the runtime's execution deadline and
+    crash the TPU worker (observed on the axon tunnel at 8321 dofs, nt=200).
+    Segmenting is exact: the outer iterations are independent given the
+    carry, so results bit-match the single-dispatch solve."""
     adm = obj.admissible
     if adm is None or adm.L == 0:
         raise ValueError("Objective has no admissible integer level combinations.")
@@ -72,27 +82,45 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
     dp_build = build_tables_pallas if use_pallas else build_tables
     dp_backtrack = backtrack_pallas if use_pallas else backtrack
 
-    def solve(x0, levels, jump, sweep_ops):
-        x0 = x0.astype(levels.dtype)
+    # Objectives without a state cache (e.g. ConvObj) return aux None from the
+    # forward sweep; the while-loop carry needs an array, so a dummy is
+    # substituted.  None-ness is static per objective — probe it without
+    # compiling anything.
+    _sweep_ops0 = obj._sweep_ops()
+    _u_spec = jax.ShapeDtypeStruct((obj.nt, obj.nx), jnp.asarray(levels_np).dtype
+                                   if getattr(obj, "dtype", None) is None
+                                   else np.dtype(obj.dtype))
+    _ys_is_none = jax.eval_shape(
+        lambda u, ops: obj._forward_with(u, ops), _u_spec, _sweep_ops0
+    )[1] is None
+
+    def _fwd_adj(x0, sweep_ops):
         forward = lambda u: obj._forward_with(u, sweep_ops)
         adjoint = lambda u, ys: obj._adjoint_with(u, ys, sweep_ops)
-        f0, ys0 = forward(x0)
-        # Objectives without a state cache (e.g. ConvObj) return aux None;
-        # the while-loop carry needs an array, so substitute a dummy.
-        if ys0 is None:
-            fwd = lambda u: (forward(u)[0], jnp.zeros((1,), x0.dtype))
-            adj = lambda u, ys: adjoint(u, None)
-            ys0 = jnp.zeros((1,), x0.dtype)
-        else:
-            fwd, adj = forward, adjoint
+        if _ys_is_none:
+            return (lambda u: (forward(u)[0], jnp.zeros((1,), x0.dtype)),
+                    lambda u, ys: adjoint(u, None))
+        return forward, adjoint
+
+    def init_carry(x0, levels, jump, sweep_ops):
+        x0 = x0.astype(levels.dtype)
+        fwd, _ = _fwd_adj(x0, sweep_ops)
+        f0, ys0 = fwd(x0)
         tv0 = _tv(x0, p)
+        # J_ret starts at +inf like the reference's J (multi-trust.jl:80):
+        # it only becomes finite on an accepted step or the certificate.
+        return (x0, ys0, f0, tv0, x0, jnp.asarray(jnp.inf, x0.dtype),
+                jnp.bool_(False), jnp.int32(1), jnp.int32(0), jnp.int32(1))
+
+    def run_outer(c0, it_hi, levels, jump, sweep_ops):
+        fwd, adj = _fwd_adj(c0[0], sweep_ops)
 
         # Outer carry:
         #   u_old, ys_old (state cache at u_old), J_old, TV_old, u_cand,
         #   J_ret, stop, it, inner_total, f_evals
         def outer_cond(c):
             (_, _, _, _, _, _, stop, it, _, _) = c
-            return (~stop) & (it <= maxiter)
+            return (~stop) & (it <= it_hi)
 
         def outer_body(c):
             (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
@@ -152,13 +180,11 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
             return (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it + 1,
                     inner_total, f_evals)
 
-        # J_ret starts at +inf like the reference's J (multi-trust.jl:80):
-        # it only becomes finite on an accepted step or the certificate.
-        c0 = (x0, ys0, f0, tv0, x0, jnp.asarray(jnp.inf, x0.dtype),
-              jnp.bool_(False), jnp.int32(1), jnp.int32(0), jnp.int32(1))
-        (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
-         f_evals) = jax.lax.while_loop(outer_cond, outer_body, c0)
+        return jax.lax.while_loop(outer_cond, outer_body, c0)
 
+    def finalize(c):
+        (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
+         f_evals) = c
         # Reference return convention: J_accepted + β·TV(final candidate)
         # (multi-trust.jl:169 evaluates TV on obj.x, the last DP candidate).
         return DeviceTRMResult(
@@ -173,23 +199,43 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
             f_evals=f_evals,
         )
 
+    def solve(x0, levels, jump, sweep_ops):
+        c0 = init_carry(x0, levels, jump, sweep_ops)
+        c = run_outer(c0, jnp.int32(maxiter), levels, jump, sweep_ops)
+        return finalize(c)
+
     from ..objectives.ode import _params_key
 
     cache_key = (
         type(obj), _params_key(obj), beta, sigma, p, kmax, maxiter, delta0,
         bool(par.compat_pinf), bool(use_pallas),
     )
-    solve_jit = _DEVICE_TRM_CACHE.get(cache_key)
-    if solve_jit is None:
-        solve_jit = jax.jit(solve)
-        _DEVICE_TRM_CACHE[cache_key] = solve_jit
+    jits = _DEVICE_TRM_CACHE.get(cache_key)
+    if jits is None:
+        jits = {
+            "solve": jax.jit(solve),
+            "init": jax.jit(init_carry),
+            "outer": jax.jit(run_outer),
+            "final": jax.jit(finalize),
+        }
+        _DEVICE_TRM_CACHE[cache_key] = jits
+    solve_jit = jits["solve"]
     levels = jnp.asarray(levels_np, dtype=getattr(obj, "dtype", None))
     jump = jnp.asarray(jump_np, dtype=levels.dtype)
-    sweep_ops = obj._sweep_ops()
+    sweep_ops = _sweep_ops0
 
     def run(x0):
-        return solve_jit(jnp.asarray(x0, dtype=levels.dtype), levels, jump,
-                         sweep_ops)
+        x0 = jnp.asarray(x0, dtype=levels.dtype)
+        if not outer_chunk:
+            return solve_jit(x0, levels, jump, sweep_ops)
+        c = jits["init"](x0, levels, jump, sweep_ops)
+        it = 1  # init_carry starts at iteration 1
+        while True:
+            it_hi = jnp.int32(min(it + outer_chunk - 1, maxiter))
+            c = jits["outer"](c, it_hi, levels, jump, sweep_ops)
+            stop, it = map(int, jax.device_get((c[6], c[7])))
+            if stop or it > maxiter:
+                return jits["final"](c)
 
     run.raw = solve_jit
     run.operands = (levels, jump, sweep_ops)
@@ -197,15 +243,18 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None):
 
 
 def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
-                     use_pallas: Optional[bool] = None):
+                     use_pallas: Optional[bool] = None,
+                     outer_chunk: Optional[int] = None):
     """One device-resident TRM solve; returns a host-side summary dict plus
-    the accepted control (single readback at the end)."""
+    the accepted control (single readback at the end — or one two-scalar
+    readback per ``outer_chunk`` iterations when segmenting)."""
     from .trm import TRMParameters
 
     par = par or TRMParameters()
     if x0 is None:
         x0 = rand_func(obj, seed=seed)
-    run = make_device_trm(obj, par, use_pallas=use_pallas)
+    run = make_device_trm(obj, par, use_pallas=use_pallas,
+                          outer_chunk=outer_chunk)
     res = run(x0)
     res = jax.device_get(res)
     return res

@@ -45,6 +45,28 @@ def test_device_loop_matches_host_convolution():
     np.testing.assert_allclose(float(dev.J), host.J, rtol=1e-12)
 
 
+def test_outer_chunk_segmenting_is_exact():
+    """Segmented dispatches (outer_chunk) bit-match the single-dispatch solve
+    — both for objectives with a state cache (ODE) and without (ConvObj)."""
+    par = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)
+    obj = LVMObj(nt=240)
+    x0 = rand_func(obj, seed=3)
+    one = trm_solve_device(obj, par, x0=x0)
+    seg = trm_solve_device(obj, par, x0=x0, outer_chunk=3)
+    np.testing.assert_array_equal(np.asarray(seg.u), np.asarray(one.u))
+    assert float(seg.J) == float(one.J)
+    assert int(seg.iterations) == int(one.iterations)
+    assert int(seg.inner_steps) == int(one.inner_steps)
+
+    par_c = TRMParameters(beta=1e-4, p=1, delta0=0.125)
+    obj_c = ConvObj(nt=128)
+    x0c = rand_func(obj_c, seed=0)
+    one_c = trm_solve_device(obj_c, par_c, x0=x0c)
+    seg_c = trm_solve_device(obj_c, par_c, x0=x0c, outer_chunk=2)
+    np.testing.assert_array_equal(np.asarray(seg_c.u), np.asarray(one_c.u))
+    assert float(seg_c.J) == float(one_c.J)
+
+
 def test_multistart_device_batch():
     obj = LVMObj(nt=160)
     params = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)
