@@ -86,7 +86,8 @@ def main(argv=None):
     ap.add_argument("--device-chunk", type=int, default=None,
                     help="segment the device loop into dispatches of N outer "
                          "iterations (bounds single-dispatch runtime for "
-                         "large PDE solves; exact)")
+                         "large PDE solves; exact; default: adaptive; "
+                         "0 forces one monolithic dispatch)")
     args = ap.parse_args(argv)
 
     from .solvers.trm import TRMParameters, trm_solve
@@ -145,8 +146,15 @@ def main(argv=None):
             best = int(_np.argmin(batch.J))
             dev = type(batch)(*[leaf[best] for leaf in batch])
         else:
-            dev = trm_solve_device(obj, par, seed=args.seed,
-                                   outer_chunk=args.device_chunk)
+            # --device-chunk: absent → adaptive, 0 → monolithic, N → fixed.
+            chunk = ("auto" if args.device_chunk is None
+                     else args.device_chunk or None)
+            prog = None
+            if not args.no_log:
+                prog = lambda it, s: print(
+                    f"  device loop: {it} outer iterations ({s:.1f} s segment)")
+            dev = trm_solve_device(obj, par, seed=args.seed, outer_chunk=chunk,
+                                   progress=prog)
         from .solvers.trm import TRMResult
 
         res = TRMResult(

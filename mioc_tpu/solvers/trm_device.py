@@ -17,6 +17,7 @@ Iteration logging is not available inside the device loop.
 from __future__ import annotations
 
 import math
+import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -49,7 +50,7 @@ _DEVICE_TRM_CACHE: dict = {}
 
 
 def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
-                    outer_chunk: Optional[int] = None):
+                    outer_chunk=None):
     """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
     parameters ``par`` (a TRMParameters).  The returned function contains the
     full TRM; vmap it for batched multistart (``use_pallas=False`` there —
@@ -63,7 +64,14 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     one monolithic dispatch can exceed the runtime's execution deadline and
     crash the TPU worker (observed on the axon tunnel at 8321 dofs, nt=200).
     Segmenting is exact: the outer iterations are independent given the
-    carry, so results bit-match the single-dispatch solve."""
+    carry, so results bit-match the single-dispatch solve.
+
+    ``outer_chunk="auto"`` self-tunes: two 2-iteration probe segments measure
+    the warm per-iteration time (a conservative running MAX — early
+    iterations are cheaper than steady state), then segments are sized to
+    ~30 s of device time, growing at most 4× per segment.  Fast solves
+    finish in one remainder dispatch after the probes; slow solves stay
+    deadline-safe throughout."""
     adm = obj.admissible
     if adm is None or adm.L == 0:
         raise ValueError("Objective has no admissible integer level combinations.")
@@ -224,30 +232,89 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     jump = jnp.asarray(jump_np, dtype=levels.dtype)
     sweep_ops = _sweep_ops0
 
-    def run(x0):
+    def run(x0, progress=None):
         x0 = jnp.asarray(x0, dtype=levels.dtype)
         if not outer_chunk:
             return solve_jit(x0, levels, jump, sweep_ops)
-        c = jits["init"](x0, levels, jump, sweep_ops)
-        it = 1  # init_carry starts at iteration 1
-        while True:
-            it_hi = jnp.int32(min(it + outer_chunk - 1, maxiter))
-            c = jits["outer"](c, it_hi, levels, jump, sweep_ops)
-            stop, it = map(int, jax.device_get((c[6], c[7])))
-            if stop or it > maxiter:
-                return jits["final"](c)
+        c0 = jits["init"](x0, levels, jump, sweep_ops)
+        c = _segmented_loop(
+            jits["outer"], c0, (levels, jump, sweep_ops), outer_chunk, maxiter,
+            read_state=lambda c: (c[6], c[7]), progress=progress,
+        )
+        return jits["final"](c)
 
     run.raw = solve_jit
+    run.pieces = (init_carry, run_outer, finalize)
+    run.jits = jits
+    run.maxiter = maxiter
     run.operands = (levels, jump, sweep_ops)
     return run
 
 
+_PROBE, _TARGET_S = 2, 30.0
+
+
+def _segmented_loop(outer_jit, c, operands, outer_chunk, maxiter, read_state,
+                    progress=None):
+    """Drive a jitted ``outer(carry, it_hi, *operands) -> carry`` in bounded
+    dispatches until the stop flag is set or ``maxiter`` is exceeded.
+
+    ``read_state(c)`` returns the (stop, it) leaves of the carry — arrays for
+    a vmapped carry, in which case a segment ends when ALL lanes stopped and
+    the iteration counter is the lane maximum.  ``progress(it, elapsed_s)``
+    (optional) is called after every segment."""
+    auto = outer_chunk == "auto"
+    it = 1  # init_carry starts at iteration 1
+    per_iter = None
+    last_done = None
+    while True:
+        if not auto:
+            chunk = outer_chunk
+        elif per_iter is None:
+            chunk = _PROBE
+        else:
+            # Size segments to ~_TARGET_S of device time.  If that covers
+            # the remaining iterations this finishes in one dispatch (the
+            # fast-solve path costs just the two probe boundaries).  Grow
+            # at most 4× per segment: a single early measurement can
+            # underestimate (see below), and an oversized dispatch is the
+            # failure mode this mode exists to prevent.
+            chunk = max(1, int(_TARGET_S / per_iter))
+            if last_done:
+                chunk = min(chunk, 4 * last_done)
+        it_hi = jnp.int32(min(it + chunk - 1, maxiter))
+        t0 = time.perf_counter()
+        c = outer_jit(c, it_hi, *operands)
+        stop_v, it_v = jax.device_get(read_state(c))
+        elapsed = time.perf_counter() - t0
+        stop, new_it = bool(np.all(stop_v)), int(np.max(it_v))
+        if auto and new_it > it and it > 1:
+            # Keep the MAX over segments: early iterations accept on the
+            # first inner trial and underestimate steady-state cost (more
+            # halvings → more f-evals per outer iteration later on).  The
+            # first segment is skipped: its wall time includes compilation.
+            per_iter = max(per_iter or 0.0, elapsed / (new_it - it))
+            last_done = new_it - it
+        it = new_it
+        if progress is not None:
+            progress(it - 1, elapsed)
+        if stop or it > maxiter:
+            return c
+
+
 def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
                      use_pallas: Optional[bool] = None,
-                     outer_chunk: Optional[int] = None):
+                     outer_chunk="auto", progress=None):
     """One device-resident TRM solve; returns a host-side summary dict plus
     the accepted control (single readback at the end — or one two-scalar
-    readback per ``outer_chunk`` iterations when segmenting)."""
+    readback per ``outer_chunk`` iterations when segmenting).
+
+    ``outer_chunk`` defaults to ``"auto"`` (adaptive segmenting — protects
+    long solves from the runtime execution deadline, see
+    :func:`make_device_trm`); pass ``None`` to force one monolithic dispatch
+    or an int for a fixed segment length.  ``progress(it, segment_seconds)``
+    (optional) is called after every segment — the device loop's substitute
+    for the host loop's iteration log."""
     from .trm import TRMParameters
 
     par = par or TRMParameters()
@@ -255,12 +322,12 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
         x0 = rand_func(obj, seed=seed)
     run = make_device_trm(obj, par, use_pallas=use_pallas,
                           outer_chunk=outer_chunk)
-    res = run(x0)
-    res = jax.device_get(res)
+    res = jax.device_get(run(x0, progress=progress))
     return res
 
 
-def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None):
+def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
+                            outer_chunk=None, progress=None):
     """Batched multistart: vmap the device TRM over ``x0s (S, nt, nx)``;
     every start runs its own accept/halve schedule in lockstep hardware.
     Returns the vmapped DeviceTRMResult (one readback).  The fused Pallas DP
@@ -269,25 +336,66 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None):
 
     With a device ``mesh`` the start axis is sharded over its ``batch`` axis
     (scenario data parallelism across chips); sharded runs use the scan DP
-    (the batched kernel is single-core)."""
+    (the batched kernel is single-core).
+
+    ``outer_chunk`` (int or ``"auto"``) segments the batched solve into
+    bounded dispatches like :func:`make_device_trm` — a segment ends when
+    ALL starts have stopped; lanes that stopped early simply idle.  Use it
+    when a batch of large PDE solves would exceed the runtime's execution
+    deadline in one dispatch.  Default ``None`` keeps the single-dispatch
+    behavior (results are identical either way)."""
     if mesh is not None and use_pallas is None:
         use_pallas = False
     run = make_device_trm(obj, par, use_pallas=use_pallas)
     levels, jump, sweep_ops = run.operands
-    vm = jax.vmap(run.raw, in_axes=(0, None, None, None))
+    x0s = jnp.asarray(x0s, dtype=levels.dtype)
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sh = NamedSharding(mesh, P("batch"))
         rep = NamedSharding(mesh, P())
         ops_sh = jax.tree_util.tree_map(lambda _: rep, sweep_ops)
-        batched = jax.jit(
-            vm,
-            in_shardings=(sh, rep, rep, ops_sh),
-            out_shardings=DeviceTRMResult(*([sh] * 9)),
-        )
+        mesh_key = (tuple(mesh.axis_names), tuple(mesh.shape.items()),
+                    tuple(d.id for d in mesh.devices.flat))
     else:
-        batched = jax.jit(vm)
-    return jax.device_get(
-        batched(jnp.asarray(x0s, dtype=levels.dtype), levels, jump, sweep_ops)
+        sh = rep = ops_sh = mesh_key = None
+
+    jits = run.jits
+    if not outer_chunk:
+        key = ("vsolve", mesh_key)
+        if key not in jits:
+            vm = jax.vmap(run.raw, in_axes=(0, None, None, None))
+            if mesh is not None:
+                vm = jax.jit(vm, in_shardings=(sh, rep, rep, ops_sh),
+                             out_shardings=DeviceTRMResult(*([sh] * 9)))
+            else:
+                vm = jax.jit(vm)
+            jits[key] = vm
+        return jax.device_get(jits[key](x0s, levels, jump, sweep_ops))
+
+    init_f, outer_f, final_f = run.pieces
+    key = ("vpieces", mesh_key)
+    if key not in jits:
+        vinit = jax.vmap(init_f, in_axes=(0, None, None, None))
+        vouter = jax.vmap(outer_f, in_axes=(0, None, None, None, None))
+        vfinal = jax.vmap(final_f)
+        if mesh is not None:
+            carry_sh = (sh,) * 10
+            vinit = jax.jit(vinit, in_shardings=(sh, rep, rep, ops_sh),
+                            out_shardings=carry_sh)
+            vouter = jax.jit(vouter,
+                             in_shardings=(carry_sh, rep, rep, rep, ops_sh),
+                             out_shardings=carry_sh)
+            vfinal = jax.jit(vfinal, in_shardings=(carry_sh,),
+                             out_shardings=DeviceTRMResult(*([sh] * 9)))
+        else:
+            vinit, vouter, vfinal = map(jax.jit, (vinit, vouter, vfinal))
+        jits[key] = (vinit, vouter, vfinal)
+    vinit, vouter, vfinal = jits[key]
+    c = vinit(x0s, levels, jump, sweep_ops)
+    c = _segmented_loop(
+        vouter, c, (levels, jump, sweep_ops), outer_chunk, run.maxiter,
+        read_state=lambda c: (c[6], c[7]), progress=progress,
     )
+    return jax.device_get(vfinal(c))

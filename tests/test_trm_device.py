@@ -51,8 +51,11 @@ def test_outer_chunk_segmenting_is_exact():
     par = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)
     obj = LVMObj(nt=240)
     x0 = rand_func(obj, seed=3)
-    one = trm_solve_device(obj, par, x0=x0)
+    one = trm_solve_device(obj, par, x0=x0, outer_chunk=None)  # monolithic
     seg = trm_solve_device(obj, par, x0=x0, outer_chunk=3)
+    auto = trm_solve_device(obj, par, x0=x0, outer_chunk="auto")
+    np.testing.assert_array_equal(np.asarray(auto.u), np.asarray(one.u))
+    assert float(auto.J) == float(one.J)
     np.testing.assert_array_equal(np.asarray(seg.u), np.asarray(one.u))
     assert float(seg.J) == float(one.J)
     assert int(seg.iterations) == int(one.iterations)
@@ -61,7 +64,7 @@ def test_outer_chunk_segmenting_is_exact():
     par_c = TRMParameters(beta=1e-4, p=1, delta0=0.125)
     obj_c = ConvObj(nt=128)
     x0c = rand_func(obj_c, seed=0)
-    one_c = trm_solve_device(obj_c, par_c, x0=x0c)
+    one_c = trm_solve_device(obj_c, par_c, x0=x0c, outer_chunk=None)
     seg_c = trm_solve_device(obj_c, par_c, x0=x0c, outer_chunk=2)
     np.testing.assert_array_equal(np.asarray(seg_c.u), np.asarray(one_c.u))
     assert float(seg_c.J) == float(one_c.J)
@@ -78,6 +81,27 @@ def test_multistart_device_batch():
     single = trm_solve_device(LVMObj(nt=160), params, x0=x0s[2])
     np.testing.assert_array_equal(res.u[2], np.asarray(single.u))
     np.testing.assert_allclose(res.J[2], float(single.J), rtol=1e-12)
+
+
+def test_multistart_outer_chunk_is_exact():
+    """Segmented batched multistart (segment ends when ALL lanes stopped)
+    matches the monolithic batched solve; the progress callback reports the
+    advancing iteration front."""
+    obj = LVMObj(nt=160)
+    par = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)
+    x0s = np.stack([rand_func(obj, seed=s) for s in range(4)])
+    mono = multistart_solve_device(obj, par, x0s)
+    seg = multistart_solve_device(obj, par, x0s, outer_chunk=3)
+    np.testing.assert_array_equal(np.asarray(seg.u), np.asarray(mono.u))
+    np.testing.assert_array_equal(np.asarray(seg.J), np.asarray(mono.J))
+    aut = multistart_solve_device(obj, par, x0s, outer_chunk="auto")
+    np.testing.assert_array_equal(np.asarray(aut.u), np.asarray(mono.u))
+
+    fronts = []
+    multistart_solve_device(obj, par, x0s, outer_chunk=5,
+                            progress=lambda it, s: fronts.append(it))
+    assert fronts == sorted(fronts)
+    assert fronts[-1] == int(np.max(mono.iterations))
 
 
 def test_device_loop_matches_host_heat():
