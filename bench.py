@@ -41,20 +41,26 @@ def cpp_baseline_seconds():
     return float(out.stdout.strip())
 
 
-def _accelerator_usable(probe_timeout=150) -> bool:
+def _accelerator_usable(probe_timeout=240, attempts=2) -> bool:
     """Probe the configured JAX platform in a SUBPROCESS: a wedged TPU tunnel
-    hangs backend init forever, which must not hang the benchmark driver."""
+    hangs backend init forever, which must not hang the benchmark driver.
+    A cold tunnel can take >2 min for the first dispatch (plugin startup +
+    remote compile), so probe generously and retry once — the first attempt
+    warms the remote-compile cache even if it times out."""
     code = "import jax, jax.numpy as jnp; print(jax.jit(lambda x: x + 1)(jnp.ones(4))[0])"
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=probe_timeout,
-            capture_output=True,
-            text=True,
-        )
-        return out.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=probe_timeout,
+                capture_output=True,
+                text=True,
+            )
+            if out.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def jax_dp_seconds():

@@ -232,7 +232,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     jump = jnp.asarray(jump_np, dtype=levels.dtype)
     sweep_ops = _sweep_ops0
 
-    def run(x0, progress=None):
+    def run(x0, progress=None, on_segment=None):
         x0 = jnp.asarray(x0, dtype=levels.dtype)
         if not outer_chunk:
             return solve_jit(x0, levels, jump, sweep_ops)
@@ -240,6 +240,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
         c = _segmented_loop(
             jits["outer"], c0, (levels, jump, sweep_ops), outer_chunk, maxiter,
             read_state=lambda c: (c[6], c[7]), progress=progress,
+            on_segment=on_segment,
         )
         return jits["final"](c)
 
@@ -255,14 +256,15 @@ _PROBE, _TARGET_S = 2, 30.0
 
 
 def _segmented_loop(outer_jit, c, operands, outer_chunk, maxiter, read_state,
-                    progress=None):
+                    progress=None, on_segment=None):
     """Drive a jitted ``outer(carry, it_hi, *operands) -> carry`` in bounded
     dispatches until the stop flag is set or ``maxiter`` is exceeded.
 
     ``read_state(c)`` returns the (stop, it) leaves of the carry — arrays for
     a vmapped carry, in which case a segment ends when ALL lanes stopped and
     the iteration counter is the lane maximum.  ``progress(it, elapsed_s)``
-    (optional) is called after every segment."""
+    (optional) is called after every segment; ``on_segment(carry)`` (optional)
+    receives the raw device carry — e.g. for crash-recovery checkpoints."""
     auto = outer_chunk == "auto"
     it = 1  # init_carry starts at iteration 1
     per_iter = None
@@ -298,6 +300,8 @@ def _segmented_loop(outer_jit, c, operands, outer_chunk, maxiter, read_state,
         it = new_it
         if progress is not None:
             progress(it - 1, elapsed)
+        if on_segment is not None:
+            on_segment(c)
         if stop or it > maxiter:
             return c
 
@@ -314,15 +318,34 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
     :func:`make_device_trm`); pass ``None`` to force one monolithic dispatch
     or an int for a fixed segment length.  ``progress(it, segment_seconds)``
     (optional) is called after every segment — the device loop's substitute
-    for the host loop's iteration log."""
+    for the host loop's iteration log.
+
+    Segmented solves honor ``par.checkpoint_path`` (an npz snapshot of the
+    accepted control after every segment — restartable crash recovery for
+    multi-minute solves, same format as the host loop's) and
+    ``par.resume_from``."""
     from .trm import TRMParameters
 
     par = par or TRMParameters()
+    if x0 is None and par.resume_from:
+        from ..utils.io import load_checkpoint
+
+        x0 = load_checkpoint(par.resume_from)["u"]
     if x0 is None:
         x0 = rand_func(obj, seed=seed)
     run = make_device_trm(obj, par, use_pallas=use_pallas,
                           outer_chunk=outer_chunk)
-    res = jax.device_get(run(x0, progress=progress))
+    on_segment = None
+    if par.checkpoint_path and outer_chunk:
+        from ..utils.io import save_checkpoint
+
+        def on_segment(c):
+            u, J, tv, it = jax.device_get((c[0], c[2], c[3], c[7]))
+            save_checkpoint(par.checkpoint_path, u=np.asarray(u),
+                            delta=float(par.delta0), iteration=int(it) - 1,
+                            J=float(J), tv=float(tv))
+
+    res = jax.device_get(run(x0, progress=progress, on_segment=on_segment))
     return res
 
 

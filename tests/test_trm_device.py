@@ -104,6 +104,26 @@ def test_multistart_outer_chunk_is_exact():
     assert fronts[-1] == int(np.max(mono.iterations))
 
 
+def test_device_checkpoint_and_resume(tmp_path):
+    """Segmented device solves snapshot the accepted control per segment
+    (host-loop npz format) and restart from ``resume_from``."""
+    from mioc_tpu.utils.io import load_checkpoint
+
+    ck = str(tmp_path / "dev_ck.npz")
+    par = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0, checkpoint_path=ck)
+    obj = LVMObj(nt=160)
+    res = trm_solve_device(obj, par, seed=0, outer_chunk=4)
+    snap = load_checkpoint(ck)
+    assert int(snap["iteration"]) == int(res.iterations)
+    np.testing.assert_array_equal(snap["u"], np.asarray(res.u))
+
+    par2 = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0, resume_from=ck)
+    res2 = trm_solve_device(obj, par2)
+    assert bool(res2.converged)
+    # Restarting from a stationary point must terminate immediately.
+    assert int(res2.iterations) <= 2
+
+
 def test_device_loop_matches_host_heat():
     """PDE objective with threaded sweep operands inside the device loop."""
     from mioc_tpu.models import HeatObj
