@@ -358,16 +358,20 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     ``use_pallas=False`` to force the XLA-scan DP.
 
     With a device ``mesh`` the start axis is sharded over its ``batch`` axis
-    (scenario data parallelism across chips); sharded runs use the scan DP
-    (the batched kernel is single-core).
+    (scenario data parallelism across chips).
 
     ``outer_chunk`` (int or ``"auto"``) segments the batched solve into
     bounded dispatches like :func:`make_device_trm` — a segment ends when
     ALL starts have stopped; lanes that stopped early simply idle.  Use it
     when a batch of large PDE solves would exceed the runtime's execution
     deadline in one dispatch.  Default ``None`` keeps the single-dispatch
-    behavior (results are identical either way)."""
-    if mesh is not None and use_pallas is None:
+    behavior (results are identical either way).
+
+    Batched solves default to the XLA-scan DP: the batched Pallas build runs
+    its grid sequentially per start, and the scan vectorizes across the
+    batch instead — measured 50 vs 75 ms/solve at ×32 fishing nt=1024 on
+    v5e (BASELINE_SELF.md).  Pass ``use_pallas=True`` to opt in."""
+    if use_pallas is None:
         use_pallas = False
     run = make_device_trm(obj, par, use_pallas=use_pallas)
     levels, jump, sweep_ops = run.operands
