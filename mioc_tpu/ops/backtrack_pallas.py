@@ -36,10 +36,15 @@ def _bt_kernel(
     phi0_ref,     # (Lp, Bp) f32, VMEM
     btilde_ref,   # (nt, Lp) i32, VMEM
     U_hbm_ref,    # (nsteps_pad, Lp, Bp) i32, HBM
-    idx_ref,      # out: (1, ntp) i32, VMEM row (masked whole-row updates:
-                  #   per-step scalar stores are not allowed on TPU, and an
-                  #   SMEM output of nt scalars blows the 1 MB SMEM budget)
+    idx_ref,      # out: (1, ntp) i32, VMEM row (per-step scalar stores are
+                  #   not allowed on TPU, and an SMEM output of nt scalars
+                  #   blows the 1 MB SMEM budget)
     u_buf_ref,    # scratch: (2, K, Lp, Bp) i32
+    idx_buf_ref,  # scratch: (1, 128) i32 — staging row for idx writes.
+                  #   Masked updates on the full (1, ntp) row would cost
+                  #   O(nt) lanes PER STEP = O(nt²) total (measured 25 ms at
+                  #   nt=8192); staging 128 entries and flushing one chunk
+                  #   slice keeps it O(nt·128).
     sem,          # DMA semaphores (2,)
     *,
     nt: int,
@@ -50,7 +55,7 @@ def _bt_kernel(
     nchunks = -(-nsteps // K)
     b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
     l_sub = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 0)
-    t_lane = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 1)
+    t128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     # Seed argmin, reference order: linear index l*Bp + b, b fastest within l.
     masked = jnp.where(b_lane <= bnew_ref[0, 0], phi0_ref[:], _INF)
@@ -59,7 +64,7 @@ def _bt_kernel(
     pick = jnp.min(lin)
     l0 = pick // Bp
     b0 = pick - l0 * Bp
-    idx_ref[:] = jnp.where(t_lane == 0, l0, jnp.zeros_like(t_lane))
+    idx_buf_ref[:] = jnp.where(t128 == 0, l0, jnp.zeros((1, 128), jnp.int32))
 
     # Prefetch the first two U chunks.
     def start_chunk(c):
@@ -92,7 +97,19 @@ def _bt_kernel(
         bt_iota = jax.lax.broadcasted_iota(jnp.int32, bt_row.shape, 1)
         bt_l = jnp.max(jnp.where(bt_iota == l, bt_row, 0))
         b_next = b - bt_l  # decrement AFTER lookup
-        idx_ref[:] = jnp.where(t_lane == k + 1, l_next, idx_ref[:])
+
+        # Stage idx[k+1] into the 128-wide buffer; flush a full chunk slice
+        # on crossing each 128 boundary.
+        p = k + 1
+        out_chunk = p // 128
+        out_row = p - out_chunk * 128
+
+        @pl.when(out_row == 0)
+        def _():
+            idx_ref[:, pl.ds((out_chunk - 1) * 128, 128)] = idx_buf_ref[:]
+            idx_buf_ref[:] = jnp.zeros((1, 128), jnp.int32)
+
+        idx_buf_ref[:] = jnp.where(t128 == out_row, l_next, idx_buf_ref[:])
 
         @pl.when((row == K - 1) & (chunk + 2 <= nchunks - 1))
         def _():
@@ -105,6 +122,9 @@ def _bt_kernel(
         return (l_next, b_next)
 
     jax.lax.fori_loop(0, nsteps, step, (l0, b0))
+    # Flush the final (possibly partial) staging chunk; entries past nt are
+    # padding the caller slices off.
+    idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
 
 
 def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
@@ -133,6 +153,7 @@ def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, K, Lp, Bp), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -345,7 +345,17 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
                             delta=float(par.delta0), iteration=int(it) - 1,
                             J=float(J), tv=float(tv))
 
-    res = jax.device_get(run(x0, progress=progress, on_segment=on_segment))
+    profiler = None
+    if par.profile_dir:
+        import jax.profiler as _jprof
+
+        profiler = _jprof.trace(par.profile_dir)
+        profiler.__enter__()
+    try:
+        res = jax.device_get(run(x0, progress=progress, on_segment=on_segment))
+    finally:
+        if profiler is not None:
+            profiler.__exit__(None, None, None)
     return res
 
 

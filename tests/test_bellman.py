@@ -228,6 +228,35 @@ def test_dp_matches_brute_force_property(seed, nt, B, p, sos1):
     np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-10)
 
 
+@pytest.mark.parametrize("nt", [129, 256, 300])
+def test_pallas_backtrack_interpret_long_horizon(nt):
+    """The backtrack kernel stages idx writes in 128-entry chunks; nt values
+    crossing (129), landing exactly on (256), and straddling (300) flush
+    boundaries must match the scan backtrack."""
+    from mioc_tpu.ops.backtrack_pallas import backtrack_pallas
+    from mioc_tpu.ops.bellman import max_budget_use
+    from mioc_tpu.ops.bellman_pallas import build_tables_pallas
+
+    s = bounded_sum_levels([[0, 1]] * 3, 1, 1)
+    rng = np.random.default_rng(5)
+    B, tau = 17, 0.05
+    grad = jnp.asarray(rng.normal(size=(nt, 3)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, s.L, size=nt)])
+    levels = jnp.asarray(s.levels)
+    jump = jnp.asarray(jump_cost_table(s.levels, p=1, beta=0.05))
+    smax = max_budget_use(s.levels)
+    stage, btilde = stage_tables(grad, u_old, levels, tau)
+
+    U_p, phi_p = build_tables_pallas(stage, btilde, jump, B, smax, interpret=True)
+    for Bn in [B, 3]:
+        i_s = np.asarray(backtrack(U_p, phi_p, btilde, levels, jnp.int32(Bn))[1])
+        i_k = np.asarray(
+            backtrack_pallas(U_p, phi_p, btilde, levels, jnp.int32(Bn),
+                             interpret=True)[1]
+        )
+        np.testing.assert_array_equal(i_s, i_k)
+
+
 def test_pallas_kernels_interpret_L36():
     """Kernel regression at the heat-scale level count (Lp padding = 40,
     unrolled 36-way contraction) in interpret mode, including the device-side
