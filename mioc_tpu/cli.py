@@ -161,8 +161,8 @@ def main(argv=None):
             J=float(dev.J), u=_np.asarray(dev.u), x_final=_np.asarray(dev.x_final),
             converged=bool(dev.converged), iterations=int(dev.iterations),
             inner_steps=int(dev.inner_steps), f_evals=int(dev.f_evals),
-            df_evals=int(dev.iterations), tv=float(dev.tv), f=float(dev.f),
-            dp_builds=int(dev.iterations), timings={},
+            df_evals=int(dev.df_evals), tv=float(dev.tv), f=float(dev.f),
+            dp_builds=int(dev.dp_builds), timings={},
         )
         obj.x = dev.x_final  # for plotting parity with the reference
         obj.eval_fdf_()

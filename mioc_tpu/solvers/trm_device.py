@@ -44,6 +44,12 @@ class DeviceTRMResult(NamedTuple):
     iterations: jnp.ndarray
     inner_steps: jnp.ndarray
     f_evals: jnp.ndarray
+    # Measured in the device carry (one adjoint sweep / one DP build per outer
+    # body).  The host loop's df_evals is one higher: it computes a final
+    # reporting gradient after the loop (multi-trust.jl:166-167) that the
+    # device loop has no use for.
+    df_evals: jnp.ndarray
+    dp_builds: jnp.ndarray
 
 
 _DEVICE_TRM_CACHE: dict = {}
@@ -118,24 +124,27 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
         # J_ret starts at +inf like the reference's J (multi-trust.jl:80):
         # it only becomes finite on an accepted step or the certificate.
         return (x0, ys0, f0, tv0, x0, jnp.asarray(jnp.inf, x0.dtype),
-                jnp.bool_(False), jnp.int32(1), jnp.int32(0), jnp.int32(1))
+                jnp.bool_(False), jnp.int32(1), jnp.int32(0), jnp.int32(1),
+                jnp.int32(0), jnp.int32(0))
 
     def run_outer(c0, it_hi, levels, jump, sweep_ops):
         fwd, adj = _fwd_adj(c0[0], sweep_ops)
 
         # Outer carry:
         #   u_old, ys_old (state cache at u_old), J_old, TV_old, u_cand,
-        #   J_ret, stop, it, inner_total, f_evals
+        #   J_ret, stop, it, inner_total, f_evals, df_evals, dp_builds
         def outer_cond(c):
-            (_, _, _, _, _, _, stop, it, _, _) = c
+            (_, _, _, _, _, _, stop, it, _, _, _, _) = c
             return (~stop) & (it <= it_hi)
 
         def outer_body(c):
             (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
-             f_evals) = c
+             f_evals, df_evals, dp_builds) = c
             grad, _ = adj(u_old, ys_old)
+            df_evals = df_evals + 1
             stage, btilde = stage_tables(grad, u_old, levels, dt)
             U, phi0 = dp_build(stage, btilde, jump, B, smax)
+            dp_builds = dp_builds + 1
 
             # Inner carry: k, delta, ared, pred, done, accepted state…
             def inner_cond(t):
@@ -186,13 +195,13 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                 inner_cond, inner_body, t0
             )
             return (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it + 1,
-                    inner_total, f_evals)
+                    inner_total, f_evals, df_evals, dp_builds)
 
         return jax.lax.while_loop(outer_cond, outer_body, c0)
 
     def finalize(c):
         (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
-         f_evals) = c
+         f_evals, df_evals, dp_builds) = c
         # Reference return convention: J_accepted + β·TV(final candidate)
         # (multi-trust.jl:169 evaluates TV on obj.x, the last DP candidate).
         return DeviceTRMResult(
@@ -205,6 +214,8 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
             iterations=it - 1,
             inner_steps=inner_total,
             f_evals=f_evals,
+            df_evals=df_evals,
+            dp_builds=dp_builds,
         )
 
     def solve(x0, levels, jump, sweep_ops):
@@ -405,7 +416,8 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
             vm = jax.vmap(run.raw, in_axes=(0, None, None, None))
             if mesh is not None:
                 vm = jax.jit(vm, in_shardings=(sh, rep, rep, ops_sh),
-                             out_shardings=DeviceTRMResult(*([sh] * 9)))
+                             out_shardings=DeviceTRMResult(
+                                 *([sh] * len(DeviceTRMResult._fields))))
             else:
                 vm = jax.jit(vm)
             jits[key] = vm
@@ -418,14 +430,15 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
         vouter = jax.vmap(outer_f, in_axes=(0, None, None, None, None))
         vfinal = jax.vmap(final_f)
         if mesh is not None:
-            carry_sh = (sh,) * 10
+            carry_sh = (sh,) * 12
             vinit = jax.jit(vinit, in_shardings=(sh, rep, rep, ops_sh),
                             out_shardings=carry_sh)
             vouter = jax.jit(vouter,
                              in_shardings=(carry_sh, rep, rep, rep, ops_sh),
                              out_shardings=carry_sh)
             vfinal = jax.jit(vfinal, in_shardings=(carry_sh,),
-                             out_shardings=DeviceTRMResult(*([sh] * 9)))
+                             out_shardings=DeviceTRMResult(
+                                 *([sh] * len(DeviceTRMResult._fields))))
         else:
             vinit, vouter, vfinal = map(jax.jit, (vinit, vouter, vfinal))
         jits[key] = (vinit, vouter, vfinal)

@@ -55,7 +55,12 @@ def rand_func_cont(obj, *, seed=None, rng=None, sigma: float = 100.0) -> np.ndar
     lo = umin.min(axis=0)  # (nu,)
     hi = umax.max(axis=0)
     span = u0.max(axis=1, keepdims=True) - u0.min(axis=1, keepdims=True)
-    u0 = lo[:, None] + (hi - lo)[:, None] * (u0 - u0.min(axis=1, keepdims=True)) / span
+    # Degenerate smoothing (large sigma / tiny nt) can flatten a row to a
+    # constant; normalize those to the bound-interval midpoint instead of 0/0.
+    flat = span <= 0.0
+    norm = (u0 - u0.min(axis=1, keepdims=True)) / np.where(flat, 1.0, span)
+    norm = np.where(flat, 0.5, norm)
+    u0 = lo[:, None] + (hi - lo)[:, None] * norm
     return np.clip(u0.T, umin, umax)
 
 

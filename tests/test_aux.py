@@ -246,6 +246,21 @@ def test_rand_func_cont_and_mixed():
     assert switches <= 10
 
 
+def test_rand_func_cont_zero_span_guard():
+    """Degenerate smoothing (nt so small the convolved row is constant) must
+    produce finite midpoint starts, not 0/0 NaNs."""
+    from mioc_tpu.utils.init import rand_func_cont
+
+    class Tiny:
+        nt, nu = 1, 2
+        umin = np.array([0.0, -1.0])
+        umax = np.array([2.0, 1.0])
+
+    u0 = rand_func_cont(Tiny(), seed=0)
+    assert np.all(np.isfinite(u0))
+    np.testing.assert_allclose(u0, [[1.0, 0.0]])
+
+
 def test_plot_results_raw_objective(tmp_path):
     """plot_results dispatches on objective type; raw (no-ODE) path
     (HelpFunctions.jl:344-350)."""

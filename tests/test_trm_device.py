@@ -33,6 +33,11 @@ def test_device_loop_matches_host_fishing(params):
     np.testing.assert_allclose(float(dev.J), host.J, rtol=1e-12)
     assert int(dev.iterations) == host.iterations
     assert int(dev.inner_steps) == host.inner_steps
+    # Measured counters equal the host loop's (the host computes one extra
+    # reporting gradient after the loop, multi-trust.jl:166-167).
+    assert int(dev.f_evals) == host.f_evals
+    assert int(dev.df_evals) == host.df_evals - 1
+    assert int(dev.dp_builds) == host.dp_builds
 
 
 def test_device_loop_matches_host_convolution():
