@@ -16,38 +16,15 @@ import time
 
 import numpy as np
 
-# Per-problem presets (multi-trust.jl:181-198).
-PRESETS = {
-    "fishing": dict(beta=1e-4, delta0=2.0, p=np.inf),
-    "mixed": dict(beta=1e-4, delta0=2.0, p=np.inf),
-    "doubletank": dict(beta=1e-5, delta0=2.0, p=np.inf),
-    "vanderpol": dict(beta=0.1, delta0=1.0, p=np.inf),
-    "convolution": dict(beta=1e-4, delta0=0.125, p=1),
-    "heat": dict(beta=1e-3, delta0=2.0, p=2),
-    # Not in the reference's main(): its .gitignore:7-11 withholds the fuller
-    # example; preset chosen so the TRM resolves the chattering arc.
-    "fuller": dict(beta=1e-4, delta0=0.1, p=1),
-}
+from .models import registry
 
 
 def build_objective(problem: str, n: int):
-    from . import models
-
-    if problem == "fishing":
-        return models.LVMObj(nt=n)
-    if problem == "doubletank":
-        return models.DTMObj(nt=n)
-    if problem == "vanderpol":
-        return models.VPOObj(nt=n)
-    if problem == "convolution":
-        return models.ConvObj(nt=n)
-    if problem == "heat":
-        return models.HeatObj(nt=n)
-    if problem == "mixed":
-        return models.LVMMixedObj(nt=n)
-    if problem == "fuller":
-        return models.FullerObj(nt=n)
-    raise SystemExit(f'I do not know the problem "{problem}".')
+    """Instantiate a registered problem (built-in or plugin-discovered)."""
+    try:
+        return registry.build(problem, nt=n)
+    except KeyError as exc:
+        raise SystemExit(str(exc.args[0]))
 
 
 def _ensure_backend():
@@ -65,9 +42,12 @@ def _ensure_backend():
 
 def main(argv=None):
     _ensure_backend()
+    # Plugin-style problem discovery (multi-trust.jl:15-20): import every
+    # example_*.py on $MIOC_PROBLEMS_PATH (default: the working directory).
+    registry.discover()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("problem", nargs="?", default="fishing",
-                    choices=sorted(PRESETS))
+                    choices=registry.available())
     ap.add_argument("--n", type=int, default=1024, help="number of time steps")
     ap.add_argument("--seed", type=int, default=None, help="x0 RNG seed")
     ap.add_argument("--beta", type=float, default=None)
@@ -92,7 +72,7 @@ def main(argv=None):
 
     from .solvers.trm import TRMParameters, trm_solve
 
-    preset = dict(PRESETS[args.problem])
+    preset = dict(registry.get(args.problem).preset)
     for key in ("beta", "delta0", "p"):
         if getattr(args, key) is not None:
             preset[key] = getattr(args, key)

@@ -250,26 +250,44 @@ def _point_in_polygon(points, poly):
     return inside
 
 
+def _seg_distance(points, a, b):
+    """Distance of each point to the segment a→b."""
+    ab = b - a
+    t = np.clip(((points - a) @ ab) / max(ab @ ab, 1e-300), 0.0, 1.0)
+    return np.linalg.norm(points - (a + t[:, None] * ab), axis=1)
+
+
 def _init_mesh_python(vertices, maxarea):
-    """Fallback generator: boundary-conforming lattice + Delaunay + filter."""
+    """Fallback generator: boundary-conforming lattice + Delaunay with
+    iterative boundary-segment recovery (midpoint splitting) + filter.
+
+    The recovery loop makes the fallback constrained in practice: any
+    boundary subsegment missing from the Delaunay triangulation is split at
+    its midpoint and the triangulation is rebuilt — narrow features like the
+    slitg sliver are recovered instead of being triangulated across."""
     from scipy.spatial import Delaunay
 
     h = np.sqrt(2.0 * maxarea)
     nv = len(vertices)
 
-    # Boundary points: polygon vertices + points spaced ≤ h on each segment.
-    bpts = []
-    seg_marker = []
+    # Boundary points: polygon vertices + points spaced ≤ h on each segment;
+    # subsegments tracked as (ia, ib, marker) point-index triples.
+    pts = [np.asarray(v, float) for v in vertices]
+    subsegs = []
     for i in range(nv):
         a, b = vertices[i], vertices[(i + 1) % nv]
         nseg = max(1, int(np.ceil(np.linalg.norm(b - a) / h)))
-        for j in range(nseg):
-            bpts.append(a + (b - a) * j / nseg)
-            seg_marker.append(i + 1)
-    bpts = np.asarray(bpts)
-    nb = len(bpts)
+        prev = i
+        for j in range(1, nseg):
+            pts.append(a + (b - a) * j / nseg)
+            subsegs.append((prev, len(pts) - 1, i + 1))
+            prev = len(pts) - 1
+        subsegs.append((prev, (i + 1) % nv, i + 1))
+    bpts = np.asarray(pts)
 
-    # Interior lattice (hex-offset rows for better quality), ≥ h/2 from bdry.
+    # Interior lattice (hex-offset rows for better quality), ≥ h/2 from the
+    # boundary — both the sample points and the segment lines (narrow
+    # features are closer to a segment's interior than to its samples).
     xmin, ymin = vertices.min(axis=0)
     xmax, ymax = vertices.max(axis=0)
     rows = []
@@ -283,14 +301,45 @@ def _init_mesh_python(vertices, maxarea):
     ipts = np.concatenate(rows) if rows else np.zeros((0, 2))
     if len(ipts):
         ipts = ipts[_point_in_polygon(ipts, vertices)]
-        # Drop interior points too close to the boundary points.
-        if nb:
-            d = np.linalg.norm(ipts[:, None, :] - bpts[None, :, :], axis=2)
-            ipts = ipts[d.min(axis=1) > 0.5 * h]
+    if len(ipts):
+        dmin = np.full(len(ipts), np.inf)
+        for i in range(nv):
+            dmin = np.minimum(
+                dmin, _seg_distance(ipts, vertices[i], vertices[(i + 1) % nv])
+            )
+        ipts = ipts[dmin > 0.5 * h]
 
-    pts = np.concatenate([bpts, ipts]) if len(ipts) else bpts
-    tri = Delaunay(pts)
-    t = tri.simplices.astype(np.int64)
+    pts = list(bpts) + list(ipts)
+
+    # Delaunay + segment recovery: split any boundary subsegment that is not
+    # an edge of the triangulation at its midpoint and retriangulate.
+    for _ in range(32):
+        arr = np.asarray(pts)
+        tri = Delaunay(arr)
+        simp = tri.simplices
+        ekeys = set()
+        n_pts = len(pts)
+        for (ea, eb) in ((0, 1), (1, 2), (2, 0)):
+            lo = np.minimum(simp[:, ea], simp[:, eb])
+            hi = np.maximum(simp[:, ea], simp[:, eb])
+            ekeys.update((lo * n_pts + hi).tolist())
+        missing = [
+            s for s in subsegs
+            if min(s[0], s[1]) * n_pts + max(s[0], s[1]) not in ekeys
+        ]
+        if not missing:
+            break
+        for (ia, ib, m) in missing:
+            mid = 0.5 * (pts[ia] + pts[ib])
+            pts.append(mid)
+            subsegs.remove((ia, ib, m))
+            subsegs.append((ia, len(pts) - 1, m))
+            subsegs.append((len(pts) - 1, ib, m))
+    else:
+        raise RuntimeError("Boundary segment recovery did not converge.")
+
+    pts = np.asarray(pts)
+    t = simp.astype(np.int64)
     # Filter cells outside the (possibly non-convex) polygon & degenerate ones.
     centroids = pts[t].mean(axis=1)
     keep = _point_in_polygon(centroids, vertices)
@@ -300,10 +349,9 @@ def _init_mesh_python(vertices, maxarea):
     keep &= area2 > 1e-12 * max(1.0, area2.max())
     t = t[keep]
 
-    segments = np.stack(
-        [np.arange(nb), (np.arange(nb) + 1) % nb], axis=1
-    )
-    return make_mesh(pts, t, segments, np.asarray(seg_marker), geometry=vertices)
+    segments = np.asarray([[ia, ib] for ia, ib, _ in subsegs])
+    markers = np.asarray([m for _, _, m in subsegs])
+    return make_mesh(pts, t, segments, markers, geometry=vertices)
 
 
 # -- refinement ---------------------------------------------------------------
@@ -589,12 +637,25 @@ def cell_areas(mesh: Mesh) -> np.ndarray:
 
 
 def sanity_check(mesh: Mesh, verbose=False):
-    """Euler characteristic, edge-count identity, total area, circumference
-    (mesh.jl:894-939).  Returns (euler, area, circumference)."""
+    """Euler characteristic, edge-count identity, total area, circumference,
+    and per-cell affine-determinant consistency (mesh.jl:894-939; the det
+    check is mesh.jl:917-918).  Returns (euler, area, circumference)."""
     nbe = len(mesh.be)
     assert 2 * mesh.ne - nbe == 3 * mesh.ntri, "2·ne − nbe must equal 3·ntri"
     euler = mesh.np - mesh.ne + mesh.ntri
-    area = float(cell_areas(mesh).sum())
+    # Per-cell consistency: the vertex-coordinate (shoelace) area of every
+    # cell must equal |det B_K|/2 of its affine map (mesh.jl:917-918).
+    v = mesh.p[mesh.t]  # (ntri, 3, gd)
+    d1, d2 = v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]
+    if mesh.gd == 2:
+        shoelace = 0.5 * np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
+    else:
+        shoelace = 0.5 * np.linalg.norm(np.cross(d1, d2), axis=1)
+    ca = cell_areas(mesh)
+    assert np.allclose(shoelace, ca, rtol=1e-10, atol=1e-14), (
+        "per-cell shoelace area must match |det B_K|/2 of the affine map"
+    )
+    area = float(ca.sum())
     v1 = mesh.p[mesh.e[mesh.be[:, 0], 0]]
     v2 = mesh.p[mesh.e[mesh.be[:, 0], 1]]
     circ = float(np.linalg.norm(v2 - v1, axis=1).sum())

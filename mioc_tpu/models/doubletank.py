@@ -27,6 +27,16 @@ class DTMObj(ODEObjective):
             T0=0.0, T1=10.0, nt=nt, state0=state0, V=V, admissible=adm, dtype=dtype
         )
 
+    # Domain-aware FD-check sampling: the sqrt dynamics need y > 0
+    # (the reference ships its own test_Fy!/test_Fu! for exactly this,
+    # example_doubletank.jl:116-179).
+    def sample_point(self, rng):
+        y = jnp.asarray(1.0 + 3.0 * rng.random(self.ny), self.dtype)
+        u = jnp.asarray(
+            self.admissible.levels[rng.integers(self.admissible.L)], self.dtype
+        )
+        return y, u, int(rng.integers(self.nt))
+
     # Dynamics (example_doubletank.jl:48-67).
     def F(self, y, u, i):
         s1 = jnp.sqrt(y[0])

@@ -154,6 +154,63 @@ class ODEObjective(LazyObjective):
     def Gu(self, y, u, i):
         return jax.grad(lambda uu: self.G(y, uu, i))(u)
 
+    # -- user-facing FD Jacobian checkers --------------------------------------
+    # Re-design of ``test_Fy!``/``test_Fu!`` (ODEObjective.jl:186-241): a user
+    # bringing hand-written Jacobians to a new model verifies them against
+    # forward differences of F at a random admissible point over a sweep of
+    # step sizes.  Returns the per-step relative errors; the minimum should
+    # display the classic FD V-shape (≈ sqrt(eps) at the optimal step).
+
+    def sample_point(self, rng):
+        """Random ``(y, u, i)`` for the FD checks.  Override for dynamics with
+        restricted domains (the reference's domain-aware variants,
+        ``example_doubletank.jl:116-179``)."""
+        y = jnp.asarray(rng.standard_normal(self.ny), self.dtype)
+        if self.admissible is not None and self.admissible.L:
+            u = jnp.asarray(
+                self.admissible.levels[rng.integers(self.admissible.L)],
+                self.dtype,
+            )
+        else:
+            u = jnp.asarray(rng.standard_normal(self.nx), self.dtype)
+        return y, u, int(rng.integers(self.nt))
+
+    def _test_jac(self, wrt, seed, steps, verbose):
+        rng = np.random.default_rng(seed)
+        y, u, i = self.sample_point(rng)
+        if steps is None:
+            steps = np.logspace(-10, 0, 11)
+        if wrt == "y":
+            h = rng.standard_normal(self.ny)
+        else:
+            h = rng.standard_normal(self.nx)
+        h = jnp.asarray(h / np.linalg.norm(h), self.dtype)
+        if wrt == "y":
+            J = np.asarray(self.Fy(y, u, i))
+            fd_of = lambda t: (self.F(y + t * h, u, i) - self.F(y, u, i)) / t
+        else:
+            J = np.asarray(self.Fu(y, u, i))
+            fd_of = lambda t: (self.F(y, u + t * h, i) - self.F(y, u, i)) / t
+        Jh = J @ np.asarray(h)
+        scale = max(float(np.linalg.norm(Jh)), 1.0)
+        errs = np.array(
+            [float(np.linalg.norm(np.asarray(fd_of(t)) - Jh)) / scale
+             for t in steps]
+        )
+        if verbose:
+            name = "Fy" if wrt == "y" else "Fu"
+            for t, e in zip(steps, errs):
+                print(f"{name}: t = {t:9.3e}   rel err = {e:9.3e}")
+        return errs
+
+    def test_Fy(self, seed=None, steps=None, verbose=False):
+        """FD-check the state Jacobian ``Fy`` (ODEObjective.jl:186-213)."""
+        return self._test_jac("y", seed, steps, verbose)
+
+    def test_Fu(self, seed=None, steps=None, verbose=False):
+        """FD-check the control Jacobian ``Fu`` (ODEObjective.jl:215-241)."""
+        return self._test_jac("u", seed, steps, verbose)
+
     # -- compiled sweeps -------------------------------------------------------
     def _build(self):
         key = (type(self), _params_key(self))

@@ -135,6 +135,67 @@ def test_cli_unknown_problem():
         main(["nonexistent"])
 
 
+_PLUGIN_SRC = '''
+import numpy as np
+from mioc_tpu.models import LVMObj
+
+PRESET = dict(beta=1e-3, delta0=2.0, p=np.inf)
+
+
+class ToyFishing(LVMObj):
+    """Objective subclass defined in the plugin module: auto-registered
+    under the file stem by convention."""
+'''
+
+
+def test_problem_registry_plugin_discovery(tmp_path, capsys, monkeypatch):
+    """Plugin-style problem auto-discovery (multi-trust.jl:15-20): dropping
+    example_<name>.py on the search path makes <name> a CLI problem."""
+    from mioc_tpu.models import registry
+
+    (tmp_path / "example_toyfish.py").write_text(_PLUGIN_SRC)
+    new = registry.discover([str(tmp_path)])
+    try:
+        assert "toyfish" in new
+        spec = registry.get("toyfish")
+        assert spec.preset["beta"] == 1e-3
+        obj = registry.build("toyfish", nt=32)
+        assert obj.nt == 32
+        assert "toyfish" in registry.available()
+
+        # End-to-end through the CLI via $MIOC_PROBLEMS_PATH.
+        from mioc_tpu.cli import main
+
+        monkeypatch.setenv("MIOC_PROBLEMS_PATH", str(tmp_path))
+        monkeypatch.chdir(tmp_path)
+        rc = main(["toyfish", "--n", "64", "--no-plot", "--no-log"])
+        assert rc == 0
+        assert "Objective Value" in capsys.readouterr().out
+    finally:
+        registry._REGISTRY.pop("toyfish", None)
+        import sys
+
+        sys.modules.pop("mioc_tpu_problem_toyfish", None)
+
+
+def test_problem_registry_explicit_register():
+    """register() as decorator with an explicit preset."""
+    from mioc_tpu.models import registry
+    from mioc_tpu.objectives.base import Objective
+
+    @registry.register("regtest", preset=dict(beta=0.5))
+    class Dummy(Objective):
+        def __init__(self, nt=8):
+            super().__init__()
+            self.nt = nt
+
+    try:
+        assert registry.get("regtest").preset == {"beta": 0.5}
+        assert registry.build("regtest", nt=4).nt == 4
+    finally:
+        registry._REGISTRY.pop("regtest", None)
+
+
 def test_aao_objective_protocol():
     """All-at-once evaluation protocol (AbstractObjectiveAAO, :15-59)."""
     from mioc_tpu.objectives.base import AAOObjective

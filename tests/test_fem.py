@@ -113,6 +113,64 @@ def test_lshape_mesh_invariants():
     np.testing.assert_allclose(circ, 8.0, rtol=1e-12)
 
 
+# slitg: square minus a slit notch of half-width 1e-2 (mesh.jl:60-62);
+# regulartriangleg: equilateral triangle inscribed in the unit circle.
+_SLIT_AREA = 4.0 - 0.5 * 1e-2
+_SLIT_CIRC = 8.0 + 0.99 + np.sqrt(1.0 + 1e-4)
+
+
+@pytest.mark.parametrize(
+    "geometry, hmax, area, circ",
+    [
+        ("slitg", 0.02, _SLIT_AREA, _SLIT_CIRC),
+        ("regulartriangleg", 0.05, 3 * np.sqrt(3) / 4, 3 * np.sqrt(3)),
+    ],
+)
+def test_slit_and_regulartriangle_invariants(geometry, hmax, area, circ):
+    """The two library geometries untested in round 1 — on the native
+    triangulator path (when built) AND the Python fallback."""
+    from mioc_tpu.fem.mesh import _GEOMETRIES, _init_mesh_python
+
+    mesh = mesh_library(geometry, hmax)
+    euler, a, c = sanity_check(mesh)
+    assert euler == 1
+    np.testing.assert_allclose(a, area, rtol=1e-12)
+    np.testing.assert_allclose(c, circ, rtol=1e-12)
+
+    mesh_py = _init_mesh_python(np.array(_GEOMETRIES[geometry], float), hmax)
+    euler, a, c = sanity_check(mesh_py)
+    assert euler == 1
+    np.testing.assert_allclose(a, area, rtol=1e-12)
+    np.testing.assert_allclose(c, circ, rtol=1e-12)
+
+
+def test_slit_sliver_robustness_native():
+    """maxarea below the slit half-width forces the native triangulator's
+    in-circumcircle predicates to operate inside the 1e-2 sliver
+    (native/triangle.cpp quality refinement)."""
+    from mioc_tpu.fem import _native_triangle
+
+    if _native_triangle._load() is None:
+        pytest.skip("native triangulator not built")
+    mesh = mesh_library("slitg", 0.002)
+    euler, a, c = sanity_check(mesh)  # incl. per-cell affine-det consistency
+    assert euler == 1
+    np.testing.assert_allclose(a, _SLIT_AREA, rtol=1e-12)
+    np.testing.assert_allclose(c, _SLIT_CIRC, rtol=1e-12)
+    assert cell_areas(mesh).min() > 0
+
+
+def test_sanity_check_catches_affine_inconsistency():
+    """sanity_check asserts per-cell shoelace area == |det B_K|/2
+    (mesh.jl:917-918); a corrupted affine map must trip it."""
+    import dataclasses
+
+    mesh = mesh_library("squareg", 0.5)
+    bad = dataclasses.replace(mesh, affine_matrix=mesh.affine_matrix * 1.01)
+    with pytest.raises(AssertionError):
+        sanity_check(bad)
+
+
 def test_refine_all_cells_preserves_geometry():
     mesh = mesh_library("squareg", 0.5)
     r = refine_all_cells(mesh)

@@ -121,3 +121,25 @@ def test_fuller_terminal_penalty_gradient():
 
     obj = FullerObj(nt=300, terminal_weight=50.0)
     directional_fd_check(obj, np.full((obj.nt, obj.nx), 0.5))
+
+
+@pytest.mark.parametrize("cls", [LVMObj, VPOObj, DTMObj])
+def test_user_facing_fd_jacobian_checkers(cls):
+    """test_Fy/test_Fu utilities (ODEObjective.jl:186-241): the hand-written
+    Jacobians of every ODE model pass the forward-difference sweep, with the
+    classic V-shape minimum well below the coarse-step error."""
+    obj = cls(nt=64)
+    for errs in (obj.test_Fy(seed=0), obj.test_Fu(seed=0)):
+        assert errs.min() < 1e-6
+        assert np.all(np.isfinite(errs))
+
+
+def test_fd_checker_catches_wrong_jacobian():
+    """A deliberately wrong Fy must NOT pass the check."""
+
+    class BadLVM(LVMObj):
+        def Fy(self, y, u, i):
+            return super().Fy(y, u, i) + 0.5
+
+    errs = BadLVM(nt=64).test_Fy(seed=0)
+    assert errs.min() > 1e-3
