@@ -64,6 +64,13 @@ class PDEObjective(LazyObjective):
     """
 
     compat_skip_first_gu: bool = False
+    # Reproduce the reference's full (inexact) gradient for parity testing:
+    # adjoint drives with Gy at the CURRENT state and unit weight
+    # (PDEObjective.jl:167-169 evaluates Gy on state[:, i] = y_{i−1} and has
+    # no trapezoid end-weight) and Gu is added with unit weight on columns
+    # 1 … nt−1 only (:192-197).  Set as an instance attribute, then call
+    # ``_build()`` to recompile.  Implies the skip-first-gu behaviour.
+    compat_adjoint: bool = False
 
     # Excluded from the sweep-cache parameter key (objectives/ode.py
     # ``_params_key``): every field here is a pure function of the hashed
@@ -372,12 +379,21 @@ class PDEObjective(LazyObjective):
 
                     bstep_init = lamT
 
-                # Exact discrete adjoint: sweep j = nt-1 … 0 with the (j+1)-th
-                # state/control and trapezoid weight (see module docstring).
-                k_next = jnp.arange(1, nt + 1)
-                w_next = jnp.where(k_next == nt, 0.5, 1.0).astype(self.dtype)
-                u_next = x[jnp.minimum(k_next, nt - 1)]
-                xs = (ys_all[1:][::-1], u_next[::-1], w_next[::-1], k_next[::-1])
+                if self.compat_adjoint:
+                    # Reference recursion (PDEObjective.jl:159-172): Gy at the
+                    # CURRENT state y_k, unit weight — an O(τ) gradient error
+                    # reproduced for parity testing only.
+                    k_s = jnp.arange(nt)
+                    w_s = jnp.ones(nt, self.dtype)
+                    xs = (ys_all[:-1][::-1], x[k_s][::-1], w_s[::-1], k_s[::-1])
+                else:
+                    # Exact discrete adjoint: sweep j = nt-1 … 0 with the
+                    # (j+1)-th state/control and trapezoid weight (module doc).
+                    k_next = jnp.arange(1, nt + 1)
+                    w_next = jnp.where(k_next == nt, 0.5, 1.0).astype(self.dtype)
+                    u_next = x[jnp.minimum(k_next, nt - 1)]
+                    xs = (ys_all[1:][::-1], u_next[::-1], w_next[::-1],
+                          k_next[::-1])
                 _, lams_rev = lax.scan(bstep, bstep_init, xs)
                 lam = lams_rev[::-1]  # (nt, N): λ_0-based columns 0 … nt-1
 
@@ -386,7 +402,11 @@ class PDEObjective(LazyObjective):
                 # G_t weight per control column: u_j appears in g_j (weight
                 # w_j) and u_{nt-1} additionally in g_nt (weight ½).
                 cj = jnp.ones((nt, 1), self.dtype).at[0, 0].set(0.5).at[-1, 0].set(1.5)
-                if self.compat_skip_first_gu:
+                if self.compat_adjoint:
+                    # Reference Gu loop (PDEObjective.jl:190-197): unit weight
+                    # on columns 1 … nt−1, nothing on column 0.
+                    cj = jnp.ones((nt, 1), self.dtype).at[0, 0].set(0.0)
+                elif self.compat_skip_first_gu:
                     cj = cj.at[0, 0].set(0.0)  # reference (PDEObjective.jl:192-197)
                 return df + cj * gu, lam
 
