@@ -1,74 +1,177 @@
-"""Temporal (sequence-axis) parallelization of the Bellman DP.
+"""Temporal (sequence-axis) parallelization of the Bellman DP — banded form.
 
 The backward value recursion is a chain of min-plus (tropical) linear
 operators over the state ``s = (budget b, combination l)``:
 
     Φ_i = T_i ⊗ Φ_{i+1},    (T ⊗ v)[s] = min_{s'} T[s, s'] + v[s']
 
-Because ⊗ is associative, the whole sweep parallelizes over time with
-``lax.associative_scan`` on the per-step transition matrices — log₂(nt) depth
-instead of nt sequential steps.  This is the DP analogue of
-sequence/context-parallel scaling (SURVEY.md §5 long-context notes; cf.
-Särkkä & García-Fernández, "Temporal parallelisation of dynamic programming
-and linear quadratic control").
+Because ⊗ is associative the sweep parallelizes over time — the DP analogue
+of sequence/context-parallel scaling (SURVEY.md §5; cf. Särkkä &
+García-Fernández, "Temporal parallelisation of dynamic programming and linear
+quadratic control").  A naive realization materializes ``(nt, S, S)``
+operators with ``S = (B+1)·L`` — ~50 GB at the heat preset — so this module
+exploits two structural properties of the per-step operator instead:
 
-Cost: materializing T costs ``nt·S²`` memory and each combine ``S³`` min-plus
-work with ``S = (B+1)·L`` — worthwhile for long horizons with small budgets
-(or across many devices where the scan's combines shard over time).  The
-optimal path is recovered directly from the suffix value tables (no argmin
-``U`` table needed).
+* **budget-shift invariance**: ``T_i[(b, l), (b', j)]`` is finite only for
+  ``b' = b − b̃_i[l]`` and its value is independent of ``b`` — so any
+  composition of steps is a function of ``(l, d, j)`` only, where
+  ``d = b − b'`` is the total budget spent;
+* **bandedness**: a composition of ``K`` steps has ``d ≤ min(B, K·smax)``
+  (``smax`` = L¹ diameter of the level set), so a chunk operator is a small
+  ``(L, W, L)`` band, ``W = min(B, K·smax)+1`` — never ``(S, S)``.
+
+Two-level schedule (sequential critical path ``K + C ≈ 2·√nt`` instead of
+``nt``):
+
+1. **chunk operators** (vmapped over the ``C`` chunks — each is a ``K``-step
+   sequential fold, all chunks in parallel): ``G_c[l, d, j]`` composed from
+   the per-step operators;
+2. **boundary sweep** (``C`` sequential banded op⊗vector applications):
+   ``Ψ_c = G_c ⊗ Ψ_{c+1}`` from the terminal layer;
+3. **interior recovery** (vmapped over chunks, ``K`` sequential per-step
+   op⊗vector applications each): all suffix value tables
+   ``phis (nt, B+1, L)`` for the backtrack.
+
+Memory: ``C·L·W·L`` for the operators plus ``nt·(B+1)·L`` for the tables —
+~34 MB + 30 MB at the heat preset (L=36, B=204, nt=1024), where the naive
+form needs ~53 GB.  Monotonicity of the budget (``b̃ ≥ 0``) makes the banded
+composition exact: a path's intermediate budget is always ≥ its final one, so
+truncating at ``d ≤ B`` inside chunks loses only paths the sequential DP
+drops too.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-from ..ops.bellman import stage_tables
+from ..ops.bellman import max_budget_use, stage_tables
 
 __all__ = ["temporal_tables", "temporal_backtrack", "temporal_dp_solve"]
 
-
-def _minplus_matmul(A, Bm):
-    """Tropical matrix product: C[a, c] = min_b A[a, b] + B[b, c]."""
-    return jnp.min(A[..., :, :, None] + Bm[..., None, :, :], axis=-2)
+_INF = np.float64(np.inf)
 
 
-@partial(jax.jit, static_argnames=("B",))
-def temporal_tables(stage, btilde, jump_cost, B: int):
-    """All suffix value tables ``phis (nt, B+1, L)`` via associative scan."""
+def _shift_d(arr, shifts, smax, axis):
+    """``out[..., d, ...] = arr[..., d − shift, ...]`` (entries ``d < shift``
+    get +inf) as a select over the ``smax+1`` static rolls; ``shifts``
+    broadcasts against ``arr`` with the rolled axis set to 1."""
+    W = arr.shape[axis]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, arr.shape, axis)
+    out = jnp.full_like(arr, _INF)
+    for s in range(smax + 1):
+        rolled = jnp.roll(arr, s, axis=axis) if s else arr
+        cand = jnp.where(d_iota >= s, rolled, _INF)
+        out = jnp.where(shifts == s, cand, out)
+    return out
+
+
+@partial(jax.jit, static_argnames=("B", "smax", "chunk"))
+def temporal_tables(stage, btilde, jump_cost, B: int, smax: int = None,
+                    chunk: int = None):
+    """All suffix value tables ``phis (nt, B+1, L)`` via the banded two-level
+    temporal parallelization.  ``smax`` is the static per-step budget-use
+    bound (:func:`~mioc_tpu.ops.bellman.max_budget_use`; defaults to ``B``);
+    ``chunk`` is the chunk length ``K`` (default ``≈ √(nt−1)``)."""
     nt, L = stage.shape
-    S = (B + 1) * L
-    b = jnp.arange(B + 1, dtype=jnp.int32)
+    if smax is None:
+        smax = B
+    smax = min(smax, B)
+    ns = nt - 1
+    K = chunk or max(1, int(math.ceil(math.sqrt(ns))))
+    K = min(K, ns) if ns else 1
+    C = -(-ns // K) if ns else 0
+    pad = C * K - ns
+    W = min(B, K * smax) + 1
 
-    # Per-step operator T_i[(b,l), (b',j)] for i = 0 … nt-2:
-    #   finite iff b' == b − b̃_i[l] (and ≥ 0), value stage_i[l] + jump[l, j].
-    def make_T(stage_i, btilde_i):
-        bp = b[:, None, None, None] - btilde_i[None, :, None, None]  # (B+1, L, 1, 1)
-        ok = (bp >= 0) & (bp == b[None, None, :, None])
-        val = stage_i[None, :, None, None] + jump_cost[None, :, None, :]
-        T = jnp.where(ok, val, jnp.inf)  # (B+1, L, B+1, L)
-        return T.reshape(S, S)
+    dtype = stage.dtype
+    jump = jump_cost.astype(dtype)
 
-    Ts = jax.vmap(make_T)(stage[:-1], btilde[:-1])  # (nt-1, S, S)
-
-    # Suffix products: P_i = T_i ⊗ T_{i+1} ⊗ … ⊗ T_{nt-2}.  Reverse the time
-    # axis and flip the (non-commutative) combine so the scan's inclusive
-    # prefixes become right-to-left suffix products.
-    P_rev = lax.associative_scan(lambda A, Bm: _minplus_matmul(Bm, A), Ts[::-1])
-    Ps = P_rev[::-1]  # Ps[i] = T_i ⊗ … ⊗ T_{nt-2}
-
-    # Terminal layer as a vector over s = (b, l).
+    # Terminal layer Φ_{nt-1}[b, l] (exact-budget seed, HelpFunctions.jl:29-43).
+    b_ax = jnp.arange(B + 1, dtype=jnp.int32)
     phi_T = jnp.where(
-        b[:, None] == btilde[-1][None, :], stage[-1][None, :], jnp.inf
-    ).reshape(S)
+        b_ax[:, None] == btilde[-1][None, :], stage[-1][None, :], _INF
+    ).astype(dtype)  # (B+1, L)
+
+    if C == 0:
+        return phi_T[None]
+
+    # Padded per-step operator data; identity steps (valid=False) in front.
+    st = jnp.concatenate([jnp.zeros((pad, L), dtype), stage[:-1]])
+    bt = jnp.concatenate([jnp.zeros((pad, L), jnp.int32), btilde[:-1]])
+    valid = jnp.concatenate(
+        [jnp.zeros((pad,), bool), jnp.ones((ns,), bool)]
+    )
+    st, bt, valid = (a.reshape((C, K) + a.shape[1:]) for a in (st, bt, valid))
+
+    # -- 1. chunk operators (vmapped over chunks) -----------------------------
+    def fold(G, xs):
+        stage_i, btilde_i, ok = xs
+        # tmp[l, d, j] = min_m jump[l, m] + G[m, d, j]  (running min over m).
+        acc = jump[:, 0, None, None] + G[0][None]
+        for m in range(1, L):
+            acc = jnp.minimum(acc, jump[:, m, None, None] + G[m][None])
+        out = _shift_d(acc, btilde_i[:, None, None], smax, axis=1)
+        out = stage_i[:, None, None] + out
+        return jnp.where(ok, out, G), None
+
+    G_id = jnp.where(
+        (jnp.arange(L)[:, None, None] == jnp.arange(L)[None, None, :])
+        & (jnp.arange(W)[None, :, None] == 0),
+        jnp.asarray(0.0, dtype), _INF,
+    )  # (L, W, L)
+
+    def chunk_op(st_c, bt_c, ok_c):
+        G, _ = lax.scan(fold, G_id, (st_c[::-1], bt_c[::-1], ok_c[::-1]))
+        return G
+
+    Gs = jax.vmap(chunk_op)(st, bt, valid)  # (C, L, W, L)
+
+    # -- 2. boundary sweep (C sequential banded op ⊗ vector) ------------------
+    def apply_op(G, phi):
+        # out[b, l] = min_{d ≤ b, j} G[l, d, j] + phi[b − d, j]
+        phipad = jnp.concatenate([jnp.full((W - 1, L), _INF, dtype), phi])
+        idx = (W - 1) + b_ax[None, :] - jnp.arange(W)[:, None]  # (W, B+1)
+        windows = phipad[idx]  # (W, B+1, L)
+        acc = None
+        for j in range(L):
+            term = G[:, :, j][:, :, None] + windows[:, :, j][None]  # (L, W, B+1)
+            acc = term if acc is None else jnp.minimum(acc, term)
+        return acc.min(axis=1).T  # (B+1, L)
+
+    def bstep(phi, G):
+        new = apply_op(G, phi)
+        return new, new
+
+    _, Psis_rev = lax.scan(bstep, phi_T, Gs[::-1])
+    # Psis[c] = Φ at padded boundary position c·K, c = 0 … C-1.
+    Psis = Psis_rev[::-1]
+    # Chunk c's recovery starts from the NEXT boundary (Ψ_{c+1}); Ψ_C = φ_T.
+    Psis_next = jnp.concatenate([Psis[1:], phi_T[None]])
+
+    # -- 3. interior recovery (vmapped over chunks) ---------------------------
+    def step_vec(phi, xs):
+        stage_i, btilde_i, ok = xs
+        tmp = jnp.min(jump[None, :, :] + phi[:, None, :], axis=2)  # (B+1, L)
+        new = stage_i[None, :] + _shift_d(tmp, btilde_i[None, :], smax, axis=0)
+        new = jnp.where(ok, new, phi)
+        return new, new
+
+    def recover(phi_end, st_c, bt_c, ok_c):
+        _, out_rev = lax.scan(step_vec, phi_end, (st_c[::-1], bt_c[::-1],
+                                                  ok_c[::-1]))
+        return out_rev[::-1]  # Φ at padded positions cK … (c+1)K−1
+
+    interior = jax.vmap(recover)(Psis_next, st, bt, valid)  # (C, K, B+1, L)
     phis = jnp.concatenate(
-        [jnp.min(Ps + phi_T[None, None, :], axis=-1), phi_T[None]]
-    )  # (nt, S): Φ_i for i = 0 … nt-1
-    return phis.reshape(nt, B + 1, L)
+        [interior.reshape(C * K, B + 1, L)[pad:], phi_T[None]]
+    )
+    return phis
 
 
 @jax.jit
@@ -100,14 +203,17 @@ def temporal_backtrack(phis, btilde, jump_cost, levels, B_new):
     return u, level_idx
 
 
-def temporal_dp_solve(grad, u_old, levels, jump_cost, tau, B: int):
-    """Solve the trust-region subproblem via associative min-plus scan.
+def temporal_dp_solve(grad, u_old, levels, jump_cost, tau, B: int,
+                      chunk: int = None):
+    """Solve the trust-region subproblem via the banded temporal DP.
 
     Same semantics as :func:`mioc_tpu.ops.bellman.dp_solve`; returns
     ``(u, level_idx, phis)`` with ``phis (nt, B+1, L)`` the suffix value
     tables (reusable by :func:`temporal_backtrack` at smaller budgets).
     """
+    smax = max_budget_use(levels)
     stage, btilde = stage_tables(grad, u_old, levels, tau)
-    phis = temporal_tables(stage, btilde, jump_cost, B)
-    u, level_idx = temporal_backtrack(phis, btilde, jump_cost, levels, jnp.int32(B))
+    phis = temporal_tables(stage, btilde, jump_cost, B, smax, chunk)
+    u, level_idx = temporal_backtrack(phis, btilde, jump_cost, levels,
+                                      jnp.int32(B))
     return u, level_idx, phis

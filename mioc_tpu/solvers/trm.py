@@ -142,7 +142,7 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
         from ..parallel.temporal import temporal_backtrack, temporal_tables
 
         def dp_build(stage, btilde):
-            return (temporal_tables(stage, btilde, jump, B),)
+            return (temporal_tables(stage, btilde, jump, B, smax),)
 
         def dp_backtrack(tables, btilde, B_new):
             return temporal_backtrack(tables[0], btilde, jump, levels, B_new)

@@ -81,6 +81,48 @@ def test_temporal_dp_matches_sequential():
     )
 
 
+def test_temporal_dp_banded_at_preset_scale():
+    """The banded two-level temporal DP must run the bundled preset SHAPES
+    (round-1 weakness: the dense (nt, S, S) form OOMed on every preset).
+    Fishing-preset size exactly; heat's L=36 control set at reduced nt/B —
+    the (B+1)·L state would be S=3636 at full heat, far beyond the old dense
+    form either way."""
+    # fishing preset: nt=1024, B=170, L=3 SOS1.
+    adm, grad, u_old, jump, levels = _problem(
+        bounded_sum_levels([[0, 1]] * 3, 1, 1), nt=1024, B=170,
+        p=np.inf, beta=1e-4
+    )
+    u_s, i_s, (U, phi0, btilde) = dp_solve(grad, u_old, levels, jump,
+                                           12.0 / 1024, 170)
+    u_t, i_t, phis = temporal_dp_solve(grad, u_old, levels, jump,
+                                       12.0 / 1024, 170)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_s))
+    np.testing.assert_allclose(np.asarray(phis[0]).T, np.asarray(phi0),
+                               rtol=1e-10)
+
+    # heat's L=36 product set (nt/B reduced to keep CI fast).
+    adm, grad, u_old, jump, levels = _problem(
+        product_levels([[0, 1, 2, 3, 4, 5]] * 2), nt=200, B=40, p=2, beta=1e-3
+    )
+    u_s, i_s, (U, phi0, btilde) = dp_solve(grad, u_old, levels, jump, 0.05, 40)
+    u_t, i_t, phis = temporal_dp_solve(grad, u_old, levels, jump, 0.05, 40)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_s))
+    np.testing.assert_allclose(np.asarray(phis[0]).T, np.asarray(phi0),
+                               rtol=1e-10)
+
+
+def test_temporal_dp_chunk_parameter():
+    """Any chunk length gives the same tables (K is a schedule knob only)."""
+    adm, grad, u_old, jump, levels = _problem(
+        bounded_sum_levels([[0, 1]] * 3, 1, 1), nt=37, B=9, p=1, beta=0.05
+    )
+    ref = temporal_dp_solve(grad, u_old, levels, jump, 0.1, 9)[2]
+    for K in (1, 5, 36, 64):
+        phis = temporal_dp_solve(grad, u_old, levels, jump, 0.1, 9, chunk=K)[2]
+        np.testing.assert_allclose(np.asarray(phis), np.asarray(ref),
+                                   rtol=1e-12)
+
+
 def test_batched_trm_step_matches_sequential():
     from mioc_tpu.models import LVMObj
     from mioc_tpu.utils.init import rand_func

@@ -151,6 +151,22 @@ def test_temporal_backend_matches_scan():
     np.testing.assert_array_equal(rb.u, ra.u)
 
 
+def test_temporal_backend_full_fishing_preset():
+    """dp_backend='temporal' completes the FULL fishing preset (nt=1024,
+    B=170 — the round-1 form OOMed here) and matches the scan solve."""
+    obj_a, obj_b = LVMObj(nt=1024), LVMObj(nt=1024)
+    from mioc_tpu.utils.init import rand_func
+
+    x0 = rand_func(obj_a, seed=0)
+    pa = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)
+    ra = trm_solve(obj_a, pa, x0=x0)
+    pb = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0, dp_backend="temporal")
+    rb = trm_solve(obj_b, pb, x0=x0)
+    assert rb.converged and rb.iterations == ra.iterations
+    np.testing.assert_allclose(rb.J, ra.J, rtol=1e-10)
+    np.testing.assert_array_equal(rb.u, ra.u)
+
+
 def test_fuller_solve_resolves_chattering():
     """Fuller's problem chatters (infinitely many switches) unregularized;
     with beta > 0 the TRM must return a converged finite-switch control and
