@@ -67,12 +67,11 @@ def pallas_supported() -> bool:
 
 
 def _dp_kernel(
-    stage_ref,    # (nt, Lp) f32, VMEM — or a (1, nt, Lp) block when batched
+    stage_ref,    # (nt, Lp) f32, VMEM
     btilde_ref,   # (nt, Lp) i32, VMEM
-    jump_ref,     # (Lp, Lp) f32, VMEM (shared across the batch grid)
-    U_hbm_ref,    # out 0: (nchunks*K, Lp, Bp) i32, HBM (streamed per chunk);
-                  #        (S, nchunks*K, Lp, Bp) full-array ref when batched
-    phi0_ref,     # out 1: (Lp, Bp) f32, VMEM — (1, Lp, Bp) block when batched
+    jump_ref,     # (Lp, Lp) f32, VMEM
+    U_hbm_ref,    # out 0: (nchunks*K, Lp, Bp) i32, HBM (streamed per chunk)
+    phi0_ref,     # out 1: (Lp, Bp) f32, VMEM
     phi_ref,      # scratch: (Lp, Bp) f32
     u_buf_ref,    # scratch: (2, K, Lp, Bp) i32 — double-buffered chunk
     send_sem,     # DMA semaphores (2,)
@@ -81,25 +80,15 @@ def _dp_kernel(
     L: int,
     smax: int,
     K: int,
-    batched: bool = False,
 ):
     Lp, Bp = phi_ref.shape
     b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
     nsteps = nt - 1
 
-    if batched:
-        # One grid step per batch element; blocked VMEM inputs carry a leading
-        # singleton axis, the ANY-space U output is indexed manually.
-        s_ix = pl.program_id(0)
-        stage_at = lambda i: stage_ref[0, i, :]
-        btilde_at = lambda i: btilde_ref[0, i, :]
-        U_at = lambda sl: U_hbm_ref.at[s_ix, sl]
-        phi0_out = phi0_ref.at[0]
-    else:
-        stage_at = lambda i: stage_ref[i, :]
-        btilde_at = lambda i: btilde_ref[i, :]
-        U_at = lambda sl: U_hbm_ref.at[sl]
-        phi0_out = phi0_ref
+    stage_at = lambda i: stage_ref[i, :]
+    btilde_at = lambda i: btilde_ref[i, :]
+    U_at = lambda sl: U_hbm_ref.at[sl]
+    phi0_out = phi0_ref
 
     # Terminal layer i = nt-1: Φ[l, b] = stage if b == b̃ else +inf.
     phi_ref[:] = jnp.where(
@@ -174,6 +163,102 @@ def _dp_kernel(
         ).wait()
 
     phi0_out[:] = phi_ref[:]
+
+
+def _dp_kernel_batched(
+    stage_ref,    # (nt, S, Lp) f32, VMEM — time-major for per-step reads
+    btilde_ref,   # (nt, S, Lp) i32, VMEM
+    jump_ref,     # (Lp, Lp) f32, VMEM (shared across the batch)
+    U_hbm_ref,    # out 0: (S, nchunks*K, Lp, Bp) i32, HBM
+    phi0_ref,     # out 1: (S, Lp, Bp) f32, VMEM
+    phi_ref,      # scratch: (S, Lp, Bp) f32 — ALL starts' value tables
+    u_buf_ref,    # scratch: (2, S, K, Lp, Bp) i32 — double-buffered chunk
+    send_sem,     # DMA semaphores (2,)
+    *,
+    nt: int,
+    L: int,
+    smax: int,
+    K: int,
+):
+    """Batched fused DP build with the start axis INSIDE the kernel: every
+    vector op processes all S starts at once ((S·Lp) sublanes × Bp lanes)
+    instead of running a sequential grid (the round-1 design, which lost to
+    the XLA-scan path on multistart — VERDICT round 1, item 2)."""
+    S, Lp, Bp = phi_ref.shape
+    b_lane = jax.lax.broadcasted_iota(jnp.int32, (S, Lp, Bp), 2)
+    nsteps = nt - 1
+
+    # Terminal layer i = nt-1 for every start.
+    phi_ref[:] = jnp.where(
+        b_lane == btilde_ref[nt - 1][:, :, None],
+        stage_ref[nt - 1][:, :, None],
+        _INF,
+    )
+
+    def step(i_rev, _):
+        i = nsteps - 1 - i_rev  # sweep i = nt-2 … 0
+        phi = phi_ref[:]
+
+        # Tropical contraction with running argmin over successor j (< L).
+        val = phi[:, 0, :][:, None, :] + jump_ref[:, 0][None, :, None]
+        arg = jnp.zeros((S, Lp, Bp), jnp.int32)
+        for j in range(1, L):
+            cand = phi[:, j, :][:, None, :] + jump_ref[:, j][None, :, None]
+            better = cand < val
+            val = jnp.where(better, cand, val)
+            arg = jnp.where(better, j, arg)
+
+        # Budget shift via static lane rotations (per-start b̃).
+        btilde_i = btilde_ref[i][:, :, None]  # (S, Lp, 1)
+        new_phi = jnp.full((S, Lp, Bp), _INF)
+        new_arg = jnp.zeros((S, Lp, Bp), jnp.int32)
+        for s in range(smax + 1):
+            v = pltpu.roll(val, s, 2) if s else val
+            a = pltpu.roll(arg, s, 2) if s else arg
+            sel = (btilde_i == s) & (b_lane >= s)
+            new_phi = jnp.where(sel, v, new_phi)
+            new_arg = jnp.where(sel, a, new_arg)
+
+        phi_ref[:] = stage_ref[i][:, :, None] + new_phi
+
+        # Chunked double-buffered streaming of the argmin planes; the copy
+        # (S, K, Lp, Bp) → U[:, cK:cK+K] is one strided DMA per chunk.
+        chunk = i // K
+        slot = jax.lax.rem(chunk, 2)
+        row = i - chunk * K
+
+        @pl.when((row == K - 1) | (i == nsteps - 1))
+        def _():
+            @pl.when(chunk <= (nsteps - 1) // K - 2)
+            def _():
+                pltpu.make_async_copy(
+                    u_buf_ref.at[slot],
+                    U_hbm_ref.at[:, pl.ds((chunk + 2) * K, K)],
+                    send_sem.at[slot],
+                ).wait()
+
+        u_buf_ref[slot, :, row] = new_arg
+
+        @pl.when(row == 0)
+        def _():
+            pltpu.make_async_copy(
+                u_buf_ref.at[slot],
+                U_hbm_ref.at[:, pl.ds(chunk * K, K)],
+                send_sem.at[slot],
+            ).start()
+
+        return ()
+
+    jax.lax.fori_loop(0, nsteps, step, (), unroll=False)
+
+    for chunk in range(min(2, (nsteps + K - 1) // K)):
+        pltpu.make_async_copy(
+            u_buf_ref.at[chunk % 2],
+            U_hbm_ref.at[:, pl.ds(chunk * K, K)],
+            send_sem.at[chunk % 2],
+        ).wait()
+
+    phi0_ref[:] = phi_ref[:]
 
 
 def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
@@ -261,7 +346,10 @@ def build_tables_pallas(stage, btilde, jump_cost, B: int, smax: int,
 @functools.partial(jax.jit, static_argnames=("B", "smax", "interpret"))
 def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
                                 interpret: bool = False):
-    """Batched fused DP build: one pallas grid step per batch element.
+    """Batched fused DP build with the start axis inside ONE kernel
+    invocation: Φ for all ``S`` starts lives in VMEM as ``(S, Lp, Bp)`` and
+    every vector op advances the whole batch (``(S·Lp)`` sublanes × ``Bp``
+    lanes), instead of the round-1 sequential grid.
 
     ``stage``/``btilde`` are ``(S, nt, L)``; ``jump_cost`` is shared.  Returns
     ``(U (S, nt-1, Lp, Bp), phi0 (S, Lp, Bp))``.  This is the batching rule
@@ -271,35 +359,35 @@ def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
     Lp = _round_up(max(L, 8), 8)
     Bp = _round_up(B + 1, 128)
     stage_p, btilde_p, jump_p = _pad_operands(stage, btilde, jump_cost, L, Lp, Bp)
+    # Time-major layout: the kernel reads one (S, Lp) plane per step.
+    stage_p = stage_p.transpose(1, 0, 2)
+    btilde_p = btilde_p.transpose(1, 0, 2)
 
     nsteps = nt - 1
-    K = _chunk_size(nsteps, Lp, Bp)
+    K = max(1, min(64, nsteps, (2 << 20) // (S * Lp * Bp * 4)))
     nchunks = -(-nsteps // K)
 
     kernel = functools.partial(
-        _dp_kernel, nt=nt, L=L, smax=min(smax, B), K=K, batched=True
+        _dp_kernel_batched, nt=nt, L=L, smax=min(smax, B), K=K
     )
     U, phi0 = pl.pallas_call(
         kernel,
-        grid=(S,),
         out_shape=(
             jax.ShapeDtypeStruct((S, nchunks * K, Lp, Bp), jnp.int32),
             jax.ShapeDtypeStruct((S, Lp, Bp), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec((1, nt, Lp), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nt, Lp), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lp, Lp), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            # ANY-space outputs must be full-array with a trivial index map;
-            # the kernel addresses its batch slice manually via program_id.
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, Lp, Bp), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # U stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((Lp, Bp), jnp.float32),
-            pltpu.VMEM((2, K, Lp, Bp), jnp.int32),
+            pltpu.VMEM((S, Lp, Bp), jnp.float32),
+            pltpu.VMEM((2, S, K, Lp, Bp), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -37,8 +37,12 @@ def make_ode_trm_step(obj, *, beta: float, p, delta0: float, mesh=None,
     Lazy) objective with compiled ``_forward``/``_adjoint`` sweeps.
 
     ``u_batch`` is ``(S, nt, nx)``; with a mesh, inputs/outputs are sharded
-    over its ``batch`` axis (scenario data parallelism over ICI).
-    ``J_model[s]`` is the DP's model objective τ·∇f·u + β·TV (per scenario).
+    over its ``batch`` axis (scenario data parallelism over ICI).  When the
+    mesh also has a ``level`` axis of size > 1, the DP contraction inside
+    each batch shard is additionally partitioned over the successor axis with
+    all_gather-min combines (:mod:`.shard_dp`) — composed batch × level
+    parallelism in one jitted step.  ``J_model[s]`` is the DP's model
+    objective τ·∇f·u + β·TV (per scenario).
     """
     adm = obj.admissible
     # numpy closures: baked as jit literals (device-array consts degrade the
@@ -52,18 +56,60 @@ def make_ode_trm_step(obj, *, beta: float, p, delta0: float, mesh=None,
     tau = obj.tau
 
     sweep_ops = obj._sweep_ops()
+    lev = int(mesh.shape.get("level", 1)) if mesh is not None else 1
 
-    def one(u, ops):
+    def one(u, ops, dp_build):
         f_old, ys = obj._forward_with(u, ops)
         grad, _ = obj._adjoint_with(u, ys, ops)
         stage, btilde = stage_tables(grad, u, levels, tau)
-        U, phi0 = build_tables(stage, btilde, jump, B, smax)
+        U, phi0, btilde = dp_build(stage, btilde)
         u_new, idx = backtrack(U, phi0, btilde, levels, jnp.int32(B))
         f_new, _ = obj._forward_with(u_new, ops)
         model = tau * jnp.sum(grad * u_new) + beta * tv_p(u_new, p)
         return u_new, f_new, model
 
-    vm = jax.vmap(one, in_axes=(0, None))
+    if lev > 1:
+        from jax import shard_map
+
+        from .shard_dp import dp_body, pad_level_axis
+
+        def body(u_blk, jump_blk, ops):
+            def one_sharded(u):
+                def dp_build(stage, btilde):
+                    stage_p, btilde_p, _, _ = pad_level_axis(
+                        stage, btilde, jnp.asarray(jump), lev, B
+                    )
+                    U, phi0 = dp_body(stage_p, btilde_p, jump_blk, B)
+                    return U, phi0, btilde_p
+
+                return one(u, ops, dp_build)
+
+            return jax.vmap(one_sharded)(u_blk)
+
+        jump_pad = pad_level_axis(
+            jnp.zeros((1, len(levels))), jnp.zeros((1, len(levels)), jnp.int32),
+            jnp.asarray(jump), lev, B,
+        )[2]
+        sh, rep = P("batch"), P()
+        ops_specs = jax.tree_util.tree_map(lambda _: rep, sweep_ops)
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(sh, P(None, "level"), ops_specs),
+            out_specs=(sh, sh, sh),
+            check_vma=False,
+        )
+        step_jit = jax.jit(fn)
+
+        def step(u_batch):
+            return step_jit(u_batch, jump_pad, sweep_ops)
+
+        return step
+
+    def dp_build(stage, btilde):
+        U, phi0 = build_tables(stage, btilde, jump, B, smax)
+        return U, phi0, btilde
+
+    vm = jax.vmap(lambda u, ops: one(u, ops, dp_build), in_axes=(0, None))
     if mesh is not None:
         sh = NamedSharding(mesh, P("batch"))
         rep = NamedSharding(mesh, P())

@@ -375,8 +375,8 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     """Batched multistart: vmap the device TRM over ``x0s (S, nt, nx)``;
     every start runs its own accept/halve schedule in lockstep hardware.
     Returns the vmapped DeviceTRMResult (one readback).  The fused Pallas DP
-    build batches via its custom_vmap rule (grid over starts); pass
-    ``use_pallas=False`` to force the XLA-scan DP.
+    build batches via its custom_vmap rule (start axis folded inside one
+    kernel invocation); pass ``use_pallas=False`` to force the XLA-scan DP.
 
     With a device ``mesh`` the start axis is sharded over its ``batch`` axis
     (scenario data parallelism across chips).

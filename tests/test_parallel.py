@@ -81,6 +81,74 @@ def test_temporal_dp_matches_sequential():
     )
 
 
+def test_shard_dp_heat_scale():
+    """Level sharding at the heat preset's hard shape: L=36, B=204 (round-1
+    weakness: only tested at L=8/B=10).  Includes the halving-reuse path on
+    the sharded tables (traced B_new backtrack)."""
+    nt, B = 128, 204
+    adm, grad, u_old, jump, levels = _problem(
+        product_levels([[0, 1, 2, 3, 4, 5]] * 2), nt=nt, B=B, p=2, beta=1e-3
+    )
+    smax = max_budget_use(adm.levels)
+    lev = 4 if jax.device_count() % 4 == 0 else 2
+    mesh = make_device_mesh(batch=jax.device_count() // lev, level=lev)
+    stage, btilde = stage_tables(grad, u_old, levels, 10.0 / nt)
+    U_s, phi_s = build_tables_sharded(stage, btilde, jump, B, smax, mesh)
+    U_r, phi_r = build_tables(stage, btilde, jump, B, smax)
+    np.testing.assert_allclose(np.asarray(phi_s), np.asarray(phi_r), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(U_s), np.asarray(U_r))
+    # Backtrack + halved-budget reuse on the sharded tables.
+    for Bq in (B, B // 2, 3):
+        _, i_s = backtrack(U_s, phi_s, btilde, levels, jnp.int32(Bq))
+        _, i_r = backtrack(U_r, phi_r, btilde, levels, jnp.int32(Bq))
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
+
+
+def test_shard_dp_pads_indivisible_level_axis():
+    """L not divisible by the level axis (e.g. SOS1 L=3 on 2 devices) is
+    inf-padded; the padded tables backtrack identically."""
+    adm, grad, u_old, jump, levels = _problem(
+        bounded_sum_levels([[0, 1]] * 3, 1, 1), nt=40, B=8, p=np.inf, beta=1e-4
+    )
+    smax = max_budget_use(adm.levels)
+    mesh = make_device_mesh(batch=jax.device_count() // 2, level=2)
+    stage, btilde = stage_tables(grad, u_old, levels, 0.1)
+    U_s, phi_s = build_tables_sharded(stage, btilde, jump, 8, smax, mesh)
+    assert phi_s.shape[0] == 4  # padded 3 → 4
+    U_r, phi_r = build_tables(stage, btilde, jump, 8, smax)
+    np.testing.assert_allclose(np.asarray(phi_s)[:3], np.asarray(phi_r),
+                               rtol=1e-12)
+    from mioc_tpu.parallel.shard_dp import pad_level_axis
+
+    _, btilde_p, _, _ = pad_level_axis(stage, btilde, jump, 2, 8)
+    _, i_s = backtrack(U_s, phi_s, btilde_p, levels, jnp.int32(8))
+    _, i_r = backtrack(U_r, phi_r, btilde, levels, jnp.int32(8))
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
+
+
+def test_combined_batch_level_trm_step():
+    """One jitted TRM step sharded over BOTH mesh axes (batch × level)
+    matches the batch-only step."""
+    from mioc_tpu.models import LVMObj
+    from mioc_tpu.utils.init import rand_func
+
+    if jax.device_count() < 4:
+        pytest.skip("needs ≥4 virtual devices")
+    obj = LVMObj(nt=48)
+    S = 8
+    u0 = jnp.asarray(np.stack([rand_func(obj, seed=s) for s in range(S)]))
+    mesh_b = make_device_mesh(batch=jax.device_count(), level=1)
+    step_b = make_ode_trm_step(obj, beta=1e-4, p=np.inf, delta0=2.0, mesh=mesh_b)
+    mesh_bl = make_device_mesh(batch=jax.device_count() // 2, level=2)
+    step_bl = make_ode_trm_step(obj, beta=1e-4, p=np.inf, delta0=2.0,
+                                mesh=mesh_bl)
+    u_b, J_b, M_b = step_b(u0)
+    u_bl, J_bl, M_bl = step_bl(u0)
+    np.testing.assert_array_equal(np.asarray(u_bl), np.asarray(u_b))
+    np.testing.assert_allclose(np.asarray(J_bl), np.asarray(J_b), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(M_bl), np.asarray(M_b), rtol=1e-12)
+
+
 def test_temporal_dp_banded_at_preset_scale():
     """The banded two-level temporal DP must run the bundled preset SHAPES
     (round-1 weakness: the dense (nt, S, S) form OOMed on every preset).
