@@ -20,4 +20,7 @@ import jax  # noqa: E402
 if not os.environ.get("MIOC_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_enable_x64", True)
+# TPU has no float64: a MIOC_TEST_TPU run keeps the default f32 (tests with
+# platform-sensitive tolerances read the platform, e.g. test_bellman.py).
+if jax.devices()[0].platform != "tpu":
+    jax.config.update("jax_enable_x64", True)

@@ -7,6 +7,7 @@ calls this out as absent from the reference).
 
 import itertools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -19,6 +20,14 @@ from mioc_tpu.ops import (
     product_levels,
     stage_tables,
 )
+
+# With MIOC_TEST_TPU=1 on a real chip (conftest leaves the platform as
+# configured) the Pallas tests run the COMPILED kernels; everywhere else they
+# run in interpret mode.  TPU has no float64, so cost comparisons relax to
+# f32 precision there (paths are still compared exactly).
+ON_TPU = jax.devices()[0].platform == "tpu"
+INTERPRET = not ON_TPU
+COST_RTOL = 1e-5 if ON_TPU else 1e-12
 
 
 def brute_force(stage, btilde, jump, B):
@@ -63,7 +72,7 @@ def test_dp_matches_brute_force_sos1(seed, p):
     ref_cost, _ = brute_force(stage, btilde, jump, B)
     got_cost, got_budget = path_cost(stage, btilde, jump, np.asarray(idx))
     assert got_budget <= B
-    np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-12)
+    np.testing.assert_allclose(got_cost, ref_cost, rtol=COST_RTOL)
     np.testing.assert_array_equal(np.asarray(u), s.levels[np.asarray(idx)])
 
 
@@ -83,7 +92,7 @@ def test_dp_matches_brute_force_multilevel(seed):
     ref_cost, _ = brute_force(stage, btilde, jump, B)
     got_cost, got_budget = path_cost(stage, btilde, jump, np.asarray(idx))
     assert got_budget <= B
-    np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-12)
+    np.testing.assert_allclose(got_cost, ref_cost, rtol=COST_RTOL)
 
 
 def test_budget_halving_reuses_tables():
@@ -108,7 +117,7 @@ def test_budget_halving_reuses_tables():
             np.asarray(stage), np.asarray(btilde), np.asarray(jump), np.asarray(idx_halved)
         )
         assert got_budget <= B_new
-        np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-12)
+        np.testing.assert_allclose(got_cost, ref_cost, rtol=COST_RTOL)
 
 
 def test_zero_budget_returns_u_old():
@@ -148,7 +157,7 @@ def test_vmapped_pallas_build_matches_scan():
     stage_b, btilde_b = jnp.stack(stages), jnp.stack(btildes)
 
     Ub, phib = jax.vmap(
-        lambda st, bt: build_tables_pallas(st, bt, jump, B, smax, interpret=True)
+        lambda st, bt: build_tables_pallas(st, bt, jump, B, smax, interpret=INTERPRET)
     )(stage_b, btilde_b)
     for k in range(3):
         Ur, phir = build_tables(stages[k], btildes[k], jump, B, smax)
@@ -185,7 +194,7 @@ def test_huge_budget_equals_unconstrained_viterbi():
     got = sum(stage_np[i, idx[i]] for i in range(nt)) + sum(
         jump[idx[i], idx[i + 1]] for i in range(nt - 1)
     )
-    np.testing.assert_allclose(got, expected, rtol=1e-12)
+    np.testing.assert_allclose(got, expected, rtol=COST_RTOL)
 
 
 try:
@@ -247,12 +256,12 @@ def test_pallas_backtrack_interpret_long_horizon(nt):
     smax = max_budget_use(s.levels)
     stage, btilde = stage_tables(grad, u_old, levels, tau)
 
-    U_p, phi_p = build_tables_pallas(stage, btilde, jump, B, smax, interpret=True)
+    U_p, phi_p = build_tables_pallas(stage, btilde, jump, B, smax, interpret=INTERPRET)
     for Bn in [B, 3]:
         i_s = np.asarray(backtrack(U_p, phi_p, btilde, levels, jnp.int32(Bn))[1])
         i_k = np.asarray(
             backtrack_pallas(U_p, phi_p, btilde, levels, jnp.int32(Bn),
-                             interpret=True)[1]
+                             interpret=INTERPRET)[1]
         )
         np.testing.assert_array_equal(i_s, i_k)
 
@@ -276,7 +285,7 @@ def test_pallas_kernels_interpret_L36():
     stage, btilde = stage_tables(grad, u_old, levels, tau)
 
     U_s, phi_s = build_tables(stage, btilde, jump, B, smax)
-    U_p, phi_p = build_tables_pallas(stage, btilde, jump, B, smax, interpret=True)
+    U_p, phi_p = build_tables_pallas(stage, btilde, jump, B, smax, interpret=INTERPRET)
     # The kernel computes in f32 (TPU layout); compare accordingly.
     np.testing.assert_allclose(
         np.asarray(phi_p)[:36, : B + 1], np.asarray(phi_s), rtol=2e-5, atol=1e-5
@@ -288,6 +297,6 @@ def test_pallas_kernels_interpret_L36():
         i_s = np.asarray(backtrack(U_p, phi_p, btilde, levels, jnp.int32(Bn))[1])
         i_k = np.asarray(
             backtrack_pallas(U_p, phi_p, btilde, levels, jnp.int32(Bn),
-                             interpret=True)[1]
+                             interpret=INTERPRET)[1]
         )
         np.testing.assert_array_equal(i_s, i_k)
