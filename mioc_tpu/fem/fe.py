@@ -118,7 +118,21 @@ _NODES = {
 
 
 class FE:
-    pass
+    """Element protocol.  Beyond Lagrange, a custom element participates in
+    assembly/prolongation by implementing METHODS of the same names as the
+    module-level functions (``shape``, ``local_dofs``, ``flat_dofmap``,
+    ``ndofs``, ``nlocaldofs``, ``cell_dofs``, ``dirichlet_constraints``) —
+    the functions dispatch to them when present (mirrors the reference's
+    multiple dispatch on the FE type, ``FE.jl``).
+
+    ``needs_derivatives``: the element's local dof functionals consume first
+    derivatives (e.g. Hermite-type dofs).  ``prolongation`` then hands
+    ``local_dofs`` a callable returning ``(val, dx, dy)`` — values plus the
+    E-transformed derivative planes of :func:`mioc_tpu.fem.mesh
+    .transform_derivative` (``mesh.jl:541-552``) — instead of plain values.
+    """
+
+    needs_derivatives = False
 
 
 class FE_Lagrange(FE):
@@ -135,13 +149,17 @@ def name(fe: FE_Lagrange) -> str:
     return {1: "Linear Lagrange", 2: "Quadratic Lagrange", 3: "Cubic Lagrange"}[fe.k]
 
 
-def ndofs(fe: FE_Lagrange, mesh) -> int:
+def ndofs(fe: FE, mesh) -> int:
     """np + ne·(k−1) + nt·(k−1)(k−2)/2 global dofs (FE.jl:24-28)."""
+    if not isinstance(fe, FE_Lagrange):
+        return fe.ndofs(mesh)
     k = fe.k
     return mesh.np + mesh.ne * (k - 1) + mesh.ntri * ((k - 1) * (k - 2)) // 2
 
 
-def nlocaldofs(fe: FE_Lagrange) -> int:
+def nlocaldofs(fe: FE) -> int:
+    if not isinstance(fe, FE_Lagrange):
+        return fe.nlocaldofs()
     return (fe.k + 1) * (fe.k + 2) // 2
 
 
@@ -151,6 +169,8 @@ def shape(fe: FE_Lagrange, lam, return_d=False, return_H=False):
     Returns ``val (nq, nld)`` and optionally the Cartesian gradients
     ``dval (nq, 2, nld)`` and Hessians ``H (nld, nq, 2, 2)``.
     """
+    if not isinstance(fe, FE_Lagrange):
+        return fe.shape(lam, return_d=return_d, return_H=return_H)
     lam = np.atleast_2d(np.asarray(lam, float))
     if lam.shape[1] != 3:
         lam = lam.T
@@ -185,6 +205,8 @@ def shape(fe: FE_Lagrange, lam, return_d=False, return_H=False):
 def cell_dofs(fe: FE_Lagrange, mesh) -> np.ndarray:
     """Global dof indices per cell, ``(ntri, nld)`` int64 — the vectorized
     ``flat_dofmap`` (FE.jl:42-50, 136-143, 258-280).  All indices 0-based."""
+    if not isinstance(fe, FE_Lagrange):
+        return fe.cell_dofs(mesh)
     k = fe.k
     t = mesh.t  # (ntri, 3)
     if k == 1:
@@ -208,6 +230,8 @@ def cell_dofs(fe: FE_Lagrange, mesh) -> np.ndarray:
 
 def flat_dofmap(fe: FE_Lagrange, mesh, idx: int):
     """Per-cell dofmap in the reference's flat form (global_dofs, i, j, s)."""
+    if not isinstance(fe, FE_Lagrange):
+        return fe.flat_dofmap(mesh, idx)
     g = cell_dofs(fe, mesh)[idx]
     n = len(g)
     return g, np.arange(n), np.arange(n), np.ones(n)
@@ -221,6 +245,8 @@ def dofmap(fe: FE_Lagrange, mesh, idx: int):
 
 def dirichlet_constraints(fe: FE_Lagrange, mesh):
     """Selection matrix of boundary dofs (FE.jl:116-130, 235-252, 423-434)."""
+    if not isinstance(fe, FE_Lagrange):
+        return fe.dirichlet_constraints(mesh)
     be = mesh.be[:, 0]  # edge indices
     verts = np.unique(mesh.e[be, :2].ravel())
     cols = [verts]
@@ -238,7 +264,11 @@ def dirichlet_constraints(fe: FE_Lagrange, mesh):
 
 def local_dofs(fe: FE_Lagrange, f):
     """Local dofs of a function given in barycentric coordinates (point
-    evaluation at the Lagrange nodes)."""
+    evaluation at the Lagrange nodes; custom elements apply their own
+    functionals — with ``needs_derivatives`` the argument returns
+    ``(val, dx, dy)``)."""
+    if not isinstance(fe, FE_Lagrange):
+        return fe.local_dofs(f)
     return f(fe.nodes)
 
 

@@ -468,15 +468,116 @@ def _barycentric(mesh: Mesh, idx: int, x):
     return lam
 
 
+def transform_derivative(E, t_shape, lam):
+    """World/fine-frame derivative transform for prolongation
+    (mesh.jl:541-552): given ``t_shape(lam) -> (val, dval)`` with ``dval
+    (nq, 2, nld)`` the gradients w.r.t. the COARSE reference frame, return
+    ``(val, dx, dy)`` with the derivative planes ``(nq, nld)`` mapped through
+    ``E = A_fᵀ B_c⁻ᵀ`` into the fine cell's reference frame (chain rule for
+    the barycentric embedding; see :func:`prolongation`)."""
+    val, dval = t_shape(lam)
+    dx = E[0, 0] * dval[:, 0, :] + E[0, 1] * dval[:, 1, :]
+    dy = E[1, 0] * dval[:, 0, :] + E[1, 1] * dval[:, 1, :]
+    return val, dx, dy
+
+
+def _local_dofmap(fe, mesh, idx, n):
+    """Dense local dofmap matrix from ``flat_dofmap``'s (g, i, j, s) triplets
+    (identity for Lagrange elements)."""
+    from .fe import flat_dofmap
+
+    g, i, j, s = flat_dofmap(fe, mesh, idx)
+    D = np.zeros((n, n))
+    np.add.at(D, (np.asarray(i), np.asarray(j)), np.asarray(s, float))
+    return g, D
+
+
+def _prolongation_general(mesh: Mesh, rmesh: Mesh, fe, rfe) -> sp.csr_matrix:
+    """Element-generic prolongation (mesh.jl:394-538): apply the FINE
+    element's local dof functionals (``local_dofs``) to the coarse basis
+    composed with the cell embedding; derivative-consuming dofs
+    (``rfe.needs_derivatives``) receive the E-transformed gradients via
+    :func:`transform_derivative`; non-identity local dofmaps are solved out
+    like the reference's ``rdofmap \\ rdof_to_shape'``."""
+    from .fe import local_dofs, ndofs, nlocaldofs, shape
+
+    nr, nc = ndofs(rfe, rmesh), ndofs(fe, mesh)
+    nld_r, nld_c = nlocaldofs(rfe), nlocaldofs(fe)
+    id_c = np.eye(nld_c)
+    id_r = np.eye(nld_r)
+
+    rows, cols, vals = [], [], []
+    count = np.zeros(nr)
+    cache = {}
+    idx = 0  # parent walk: children are ordered by parent (mesh.jl:428-442)
+    for i in range(rmesh.ntri):
+        while idx < mesh.ntri:
+            # C (3, 3): coarse barycentric coordinates of the fine vertices;
+            # a fine-barycentric point λ maps to coarse barycentric λ @ C.
+            C = _barycentric(mesh, idx, rmesh.p[rmesh.t[i]])
+            if C.min() >= -1e-10:
+                break
+            idx += 1
+        if idx >= mesh.ntri:
+            raise RuntimeError(f"Did not find parent of fine cell {i}")
+
+        if rfe.needs_derivatives:
+            # ∂/∂ξ_fine = A_fᵀ B_c⁻ᵀ ∂/∂ξ_coarse  (mesh.jl:455-457).
+            E = (
+                rmesh.affine_matrix[i][:, :2].T
+                @ mesh.affine_invmatrixT[idx][:, :2]
+            )
+            t_shape = lambda lam: transform_derivative(
+                E, lambda l: shape(fe, l @ C, return_d=True), lam
+            )
+            key = (np.round(C, 8).tobytes(), np.round(E, 8).tobytes())
+        else:
+            t_shape = lambda lam: shape(fe, np.atleast_2d(lam) @ C)
+            key = np.round(C, 8).tobytes()
+
+        W = cache.get(key)
+        if W is None:
+            W = np.asarray(local_dofs(rfe, t_shape), float)  # (nld_r, nld_c)
+            cache[key] = W
+
+        rg, Dr = _local_dofmap(rfe, rmesh, i, nld_r)
+        cg, Dc = _local_dofmap(fe, mesh, idx, nld_c)
+        V = W
+        if not np.array_equal(Dr, id_r):
+            V = np.linalg.solve(Dr, V)
+        if not np.array_equal(Dc, id_c):
+            V = V @ Dc.T
+
+        rr, cc = np.nonzero(np.abs(V) > 1e-14)
+        rows.append(rg[rr])
+        cols.append(cg[cc])
+        vals.append(V[rr, cc])
+        count[rg] += 1
+
+    P = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nr, nc),
+    )
+    inv_count = np.zeros(nr)
+    nzr = count > 0
+    inv_count[nzr] = 1.0 / count[nzr]
+    return sp.diags(inv_count) @ P
+
+
 def prolongation(mesh: Mesh, rmesh: Mesh, fe, rfe=None) -> sp.csr_matrix:
     """Prolongation matrix P with ``P @ U`` the fine-mesh coefficients of the
-    coarse FE function U (mesh.jl:394-538).  Specialized to Lagrange (nodal)
-    elements: each fine dof is a point evaluation, so ``P[r, c] = φ_c(x_r)``
-    evaluated on the parent cell; duplicate rows are averaged like the
-    reference's ``coun`` normalization (mesh.jl:523-537)."""
-    from .fe import cell_dofs, ndofs, shape
+    coarse FE function U (mesh.jl:394-538).  Lagrange (nodal) pairs take a
+    vectorized fast path — each fine dof is a point evaluation, so
+    ``P[r, c] = φ_c(x_r)`` on the parent cell; any other element pair goes
+    through the generic functional-application path
+    (:func:`_prolongation_general`, incl. derivative-dof transforms —
+    mesh.jl:541-552).  Duplicate rows are averaged like the reference's
+    ``coun`` normalization (mesh.jl:523-537)."""
+    from .fe import FE_Lagrange, cell_dofs, ndofs, shape
 
     rfe = rfe or fe
+    if not (isinstance(fe, FE_Lagrange) and isinstance(rfe, FE_Lagrange)):
+        return _prolongation_general(mesh, rmesh, fe, rfe)
     rdofs_all = cell_dofs(rfe, rmesh)
     cdofs_all = cell_dofs(fe, mesh)
     nr, nc = ndofs(rfe, rmesh), ndofs(fe, mesh)

@@ -422,3 +422,127 @@ def test_mg_vcycle_preconditions_stiffness():
     z = mg_apply(ops, b)
     res = np.linalg.norm(np.asarray(b) - K @ np.asarray(z)) / np.linalg.norm(np.asarray(b))
     assert res < 0.2, res
+
+
+# -- general (non-nodal) prolongation -----------------------------------------
+
+def test_prolongation_general_path_matches_nodal():
+    """The element-generic functional-application path must reproduce the
+    vectorized nodal fast path for Lagrange pairs (mesh.jl:394-538)."""
+    from mioc_tpu.fem.mesh import _prolongation_general
+
+    mesh = mesh_library("squareg", 0.6)
+    rmesh = refine_all_cells(mesh)
+    for kc, kf in [(1, 1), (2, 2), (3, 1), (1, 2)]:
+        fe, rfe = FE_Lagrange(kc), FE_Lagrange(kf)
+        P_fast = prolongation(mesh, rmesh, fe, rfe)
+        P_gen = _prolongation_general(mesh, rmesh, fe, rfe)
+        np.testing.assert_allclose(
+            P_gen.toarray(), P_fast.toarray(), atol=1e-12
+        )
+
+
+class _ScaledP1:
+    """P1 with a NON-IDENTITY local dofmap: the represented function is
+    Σ α·U_g·hat_g, i.e. flat_dofmap carries s = α (c_loc = α U), while the
+    dof functionals stay point evaluations.  Exercises the reference's
+    ``rdofmap \\ rdof_to_shape'`` solve (mesh.jl:487-516)."""
+
+    needs_derivatives = False
+
+    def __init__(self, alpha):
+        self.alpha = float(alpha)
+        self._p1 = FE_Lagrange(1)
+
+    def ndofs(self, mesh):
+        return mesh.np
+
+    def nlocaldofs(self):
+        return 3
+
+    def shape(self, lam, return_d=False, return_H=False):
+        from mioc_tpu.fem.fe import shape as fe_shape
+
+        return fe_shape(self._p1, lam, return_d=return_d, return_H=return_H)
+
+    def local_dofs(self, f):
+        return f(self._p1.nodes)
+
+    def flat_dofmap(self, mesh, idx):
+        g = mesh.t[idx]
+        n = np.arange(3)
+        return g, n, n, np.full(3, self.alpha)
+
+
+def test_prolongation_nonidentity_dofmap():
+    """Coarse coefficients scaled by α, fine by γ: the general path's dofmap
+    solve must yield P = (α/γ)·P_lagrange."""
+    mesh = mesh_library("squareg", 0.8)
+    rmesh = refine_all_cells(mesh)
+    P_ref = prolongation(mesh, rmesh, FE_Lagrange(1)).toarray()
+    P = prolongation(mesh, rmesh, _ScaledP1(3.0), _ScaledP1(0.5)).toarray()
+    np.testing.assert_allclose(P, (3.0 / 0.5) * P_ref, atol=1e-12)
+
+
+class _CellHermite:
+    """Discontinuous per-cell toy element with DERIVATIVE dofs: local dofs are
+    (value at centroid, ∂ξ, ∂η in the cell's own reference frame); basis
+    (1, ξ−1/3, η−1/3) makes the dofs unisolvent with an identity dofmap.
+    Exercises ``needs_derivatives`` + ``transform_derivative``
+    (mesh.jl:541-552)."""
+
+    needs_derivatives = True
+
+    def ndofs(self, mesh):
+        return 3 * mesh.ntri
+
+    def nlocaldofs(self):
+        return 3
+
+    def local_dofs(self, f):
+        centroid = np.full((1, 3), 1.0 / 3.0)
+        val, dx, dy = f(centroid)
+        return np.vstack([val[0], dx[0], dy[0]])
+
+    def flat_dofmap(self, mesh, idx):
+        n = np.arange(3)
+        return 3 * idx + n, n, n, np.ones(3)
+
+
+def test_prolongation_derivative_dofs():
+    """Prolongating a LINEAR coarse P1 function into the derivative-dof toy
+    element must reproduce (u(centroid), A_fᵀ∇u) exactly on every fine cell —
+    the E-transform of transform_derivative is what makes the gradient dofs
+    land in the fine cell's reference frame."""
+    mesh = mesh_library("squareg", 0.7)
+    rmesh = refine_all_cells(mesh)
+    rfe = _CellHermite()
+    P = prolongation(mesh, rmesh, FE_Lagrange(1), rfe)
+
+    grad = np.array([2.0, -3.0])
+    u = lambda x, y: 1.0 + grad[0] * x + grad[1] * y
+    U = np.array([u(*pt) for pt in mesh.p])
+    Uf = (P @ U).reshape(rmesh.ntri, 3)
+
+    centroids = rmesh.p[rmesh.t].mean(axis=1)
+    np.testing.assert_allclose(
+        Uf[:, 0], u(centroids[:, 0], centroids[:, 1]), atol=1e-12
+    )
+    # Gradient dofs: ∇_ξ u = A_fᵀ ∇_x u per fine cell.
+    expected = np.einsum("cgr,g->cr", rmesh.affine_matrix, grad)
+    np.testing.assert_allclose(Uf[:, 1:], expected, atol=1e-12)
+
+
+def test_transform_derivative_chain_rule():
+    """transform_derivative applies E to the gradient planes (mesh.jl:541-552)."""
+    from mioc_tpu.fem.mesh import transform_derivative
+
+    fe = FE_Lagrange(2)
+    lam = np.array([[0.2, 0.5, 0.3], [1 / 3, 1 / 3, 1 / 3]])
+    E = np.array([[0.5, -1.0], [2.0, 0.25]])
+    t_shape = lambda l: shape(fe, l, return_d=True)
+    val, dx, dy = transform_derivative(E, t_shape, lam)
+    v_ref, d_ref = shape(fe, lam, return_d=True)
+    np.testing.assert_allclose(val, v_ref)
+    np.testing.assert_allclose(dx, E[0, 0] * d_ref[:, 0] + E[0, 1] * d_ref[:, 1])
+    np.testing.assert_allclose(dy, E[1, 0] * d_ref[:, 0] + E[1, 1] * d_ref[:, 1])
