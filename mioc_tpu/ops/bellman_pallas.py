@@ -179,6 +179,7 @@ def _dp_kernel_batched(
     L: int,
     smax: int,
     K: int,
+    unroll: int = 1,
 ):
     """Batched fused DP build with the start axis INSIDE the kernel: every
     vector op processes all S starts at once ((S·Lp) sublanes × Bp lanes)
@@ -249,7 +250,22 @@ def _dp_kernel_batched(
 
         return ()
 
-    jax.lax.fori_loop(0, nsteps, step, (), unroll=False)
+    # Manual unrolling: Mosaic supports only unroll=1 or full unroll in
+    # lax loops, so process `unroll` consecutive steps per loop iteration
+    # (remainder first) — amortizes the per-iteration loop overhead that
+    # dominates at these tiny per-step workloads.
+    U_ = max(1, min(unroll, nsteps))
+    rem = nsteps % U_
+
+    def super_step(s, _):
+        base = rem + s * U_
+        for t in range(U_):
+            step(base + t, ())
+        return ()
+
+    if rem:
+        jax.lax.fori_loop(0, rem, step, (), unroll=False)
+    jax.lax.fori_loop(0, nsteps // U_, super_step, (), unroll=False)
 
     for chunk in range(min(2, (nsteps + K - 1) // K)):
         pltpu.make_async_copy(
@@ -343,9 +359,10 @@ def build_tables_pallas(stage, btilde, jump_cost, B: int, smax: int,
     return _cv_build(B, min(smax, B), interpret)(stage, btilde, jump_cost)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "smax", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("B", "smax", "interpret", "unroll"))
 def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
-                                interpret: bool = False):
+                                interpret: bool = False, unroll: int = 4):
     """Batched fused DP build with the start axis inside ONE kernel
     invocation: Φ for all ``S`` starts lives in VMEM as ``(S, Lp, Bp)`` and
     every vector op advances the whole batch (``(S·Lp)`` sublanes × ``Bp``
@@ -368,7 +385,7 @@ def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
     nchunks = -(-nsteps // K)
 
     kernel = functools.partial(
-        _dp_kernel_batched, nt=nt, L=L, smax=min(smax, B), K=K
+        _dp_kernel_batched, nt=nt, L=L, smax=min(smax, B), K=K, unroll=unroll
     )
     U, phi0 = pl.pallas_call(
         kernel,

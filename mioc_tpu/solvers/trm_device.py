@@ -56,7 +56,7 @@ _DEVICE_TRM_CACHE: dict = {}
 
 
 def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
-                    outer_chunk=None):
+                    outer_chunk=None, compact_tables: bool = False):
     """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
     parameters ``par`` (a TRMParameters).  The returned function contains the
     full TRM; vmap it for batched multistart (``use_pallas=False`` there —
@@ -93,8 +93,23 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     jump_np = jump_cost_table(levels_np, p, beta=beta, compat_pinf=par.compat_pinf)
     if use_pallas is None:
         use_pallas = par.use_pallas if par.use_pallas is not None else pallas_supported()
-    dp_build = build_tables_pallas if use_pallas else build_tables
-    dp_backtrack = backtrack_pallas if use_pallas else backtrack
+    if use_pallas and compact_tables:
+        # Multistart layout: slice the fused build's padded tables (Lp, Bp)
+        # back to compact (L, B+1) ONCE per build, then every backtrack —
+        # including trust-region halvings, which re-chase the same tables —
+        # reads 6× less U traffic (fishing: 45 vs 268 MB per chase).  The
+        # single-start fused backtrack kernel is not used here because vmap
+        # falls back to the scan backtrack anyway (backtrack_pallas._rule).
+        _L = len(levels_np)
+
+        def dp_build(stage, btilde, jump, B, smax):
+            U, phi0 = build_tables_pallas(stage, btilde, jump, B, smax)
+            return U[..., :_L, :B + 1], phi0[..., :_L, :B + 1]
+
+        dp_backtrack = backtrack
+    else:
+        dp_build = build_tables_pallas if use_pallas else build_tables
+        dp_backtrack = backtrack_pallas if use_pallas else backtrack
 
     # Objectives without a state cache (e.g. ConvObj) return aux None from the
     # forward sweep; the while-loop carry needs an array, so a dummy is
@@ -227,7 +242,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
 
     cache_key = (
         type(obj), _params_key(obj), beta, sigma, p, kmax, maxiter, delta0,
-        bool(par.compat_pinf), bool(use_pallas),
+        bool(par.compat_pinf), bool(use_pallas), bool(compact_tables),
     )
     jits = _DEVICE_TRM_CACHE.get(cache_key)
     if jits is None:
@@ -394,7 +409,8 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     v5e (BASELINE_SELF.md).  Pass ``use_pallas=True`` to opt in."""
     if use_pallas is None:
         use_pallas = False
-    run = make_device_trm(obj, par, use_pallas=use_pallas)
+    run = make_device_trm(obj, par, use_pallas=use_pallas,
+                          compact_tables=use_pallas)
     levels, jump, sweep_ops = run.operands
     x0s = jnp.asarray(x0s, dtype=levels.dtype)
 

@@ -22,5 +22,7 @@ if not os.environ.get("MIOC_TEST_TPU"):
 
 # TPU has no float64: a MIOC_TEST_TPU run keeps the default f32 (tests with
 # platform-sensitive tolerances read the platform, e.g. test_bellman.py).
-if jax.devices()[0].platform != "tpu":
+# MIOC_TEST_F32=1 keeps f32 on CPU too — a cheap dry run that predicts which
+# tests are precision-bound before paying for a real TPU suite run.
+if jax.devices()[0].platform != "tpu" and not os.environ.get("MIOC_TEST_F32"):
     jax.config.update("jax_enable_x64", True)

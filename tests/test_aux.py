@@ -54,8 +54,16 @@ class Quadratic(LazyObjective):
 def test_continuous_optimizers_solve_quadratic(opt):
     obj = Quadratic()
     opt.maxiter = 500
+    from _precision import F64
+    if not F64:
+        # f32: once |g| ~ 1e-2, the per-step Armijo decrement |g|²/(2·λmax)
+        # drops below the objective's ~1e-7 evaluation noise and the Wolfe
+        # phases bisect pure roundoff — stop at the attainable gradient norm
+        # instead (still |x − x*| ≤ |g|/λmin ≈ 1e-3, inside the assert).
+        opt.tol = 1e-2
     opt_optimize(opt, obj, np.zeros((12, 1)))
-    np.testing.assert_allclose(np.asarray(obj.x)[:, 0], obj.exact(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(obj.x)[:, 0], obj.exact(),
+                               atol=1e-5 if F64 else 3e-3)
 
 
 def test_armijo_rejects_ascent_direction():

@@ -23,11 +23,13 @@ from mioc_tpu.ops import (
 
 # With MIOC_TEST_TPU=1 on a real chip (conftest leaves the platform as
 # configured) the Pallas tests run the COMPILED kernels; everywhere else they
-# run in interpret mode.  TPU has no float64, so cost comparisons relax to
-# f32 precision there (paths are still compared exactly).
+# run in interpret mode.  Cost comparisons key on the active dtype (TPU has
+# no float64; MIOC_TEST_F32=1 predicts that on CPU) — paths stay exact.
+from _precision import F64
+
 ON_TPU = jax.devices()[0].platform == "tpu"
 INTERPRET = not ON_TPU
-COST_RTOL = 1e-5 if ON_TPU else 1e-12
+COST_RTOL = 1e-12 if F64 else 1e-5
 
 
 def brute_force(stage, btilde, jump, B):

@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 import scipy.sparse.linalg as spla
 
+from _precision import EQ_RTOL, F64
+
 from mioc_tpu.fem import (
     FE_Lagrange,
     area_integrator,
@@ -384,7 +386,9 @@ def test_ell_matvec_matches_scipy():
     A = A + sp.eye(40)
     v, c = to_ell(A)
     x = rng.normal(size=40)
-    np.testing.assert_allclose(np.asarray(ell_matvec(jnp.asarray(v), jnp.asarray(c), jnp.asarray(x))), A @ x, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(ell_matvec(jnp.asarray(v), jnp.asarray(c), jnp.asarray(x))),
+        A @ x, rtol=EQ_RTOL)
 
 
 def test_cg_solve_exact_on_spd():
@@ -396,7 +400,8 @@ def test_cg_solve_exact_on_spd():
     b = rng.normal(size=30)
     Aj = jnp.asarray(A)
     x = cg_solve(lambda v: Aj @ v, jnp.asarray(b), jnp.zeros(30), jnp.asarray(1.0 / np.diag(A)), 60)
-    np.testing.assert_allclose(np.asarray(Aj @ x), b, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Aj @ x), b,
+                               atol=1e-9 if F64 else 2e-4)
 
 
 def test_mg_vcycle_preconditions_stiffness():

@@ -4,8 +4,17 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from _precision import F64, FD_RTOL, FD_T
 from mioc_tpu.models import HeatObj
 from mioc_tpu.solvers.trm import TRMParameters, trm_solve
+
+
+def _fd_directional(obj, x, f0, h):
+    """Forward difference in f64; central at a larger step in f32 (the
+    objective itself carries ~1e-7 relative noise there)."""
+    if F64:
+        return (obj.eval_f(x + FD_T * h) - f0) / FD_T
+    return (obj.eval_f(x + FD_T * h) - obj.eval_f(x - FD_T * h)) / (2 * FD_T)
 
 
 @pytest.fixture(scope="module")
@@ -23,10 +32,9 @@ def test_heat_fd_gradient(heat_small):
     obj.eval_df_()
     h = np.random.default_rng(0).normal(size=u.shape)
     dfh = obj.tau * float(jnp.sum(obj.df * h))
-    t = 1e-6
-    fd = (obj.eval_f(u + t * h) - f0) / t
+    fd = _fd_directional(obj, u, f0, h)
     # Exact discrete adjoint: FD error is O(t) (quadratic objective).
-    assert abs(fd - dfh) / abs(dfh) < 1e-5
+    assert abs(fd - dfh) / abs(dfh) < (1e-5 if F64 else FD_RTOL)
 
 
 def test_heat_state_monotone_heating(heat_small):
@@ -87,10 +95,13 @@ def test_heat_cg_matches_dense(heat_small):
     rng = np.random.default_rng(1)
     x = rng.integers(0, 6, size=(40, 2)).astype(float)
     fa, fb = a.eval_f(x), b.eval_f(x)
-    assert abs(fa - fb) / abs(fa) < 1e-10
+    assert abs(fa - fb) / abs(fa) < (1e-10 if F64 else 5e-4)
     a.x = jnp.asarray(x); a.eval_f_(); a.eval_df_()
     b.x = jnp.asarray(x); b.eval_f_(); b.eval_df_()
-    np.testing.assert_allclose(np.asarray(b.df), np.asarray(a.df), rtol=1e-8)
+    # f32: atol covers near-zero gradient entries (values are O(50-100)).
+    np.testing.assert_allclose(np.asarray(b.df), np.asarray(a.df),
+                               rtol=1e-8 if F64 else 2e-3,
+                               atol=0 if F64 else 5e-3)
 
 
 def test_heat_multigrid_fd_gradient():
@@ -107,9 +118,8 @@ def test_heat_multigrid_fd_gradient():
     obj.eval_df_()
     h = rng.normal(size=x.shape)
     dfh = obj.tau * float(jnp.sum(obj.df * h))
-    t = 1e-6
-    fd = (obj.eval_f(x + t * h) - f0) / t
-    assert abs(fd - dfh) / abs(dfh) < 1e-5
+    fd = _fd_directional(obj, x, f0, h)
+    assert abs(fd - dfh) / abs(dfh) < (1e-5 if F64 else FD_RTOL)
 
 
 def test_heat_multigrid_matches_dense():
@@ -121,7 +131,7 @@ def test_heat_multigrid_matches_dense():
     rng = np.random.default_rng(3)
     x = rng.integers(0, 6, size=(25, 2)).astype(float)
     fa, fb = a.eval_f(x), b.eval_f(x)
-    assert abs(fa - fb) / abs(fa) < 1e-9
+    assert abs(fa - fb) / abs(fa) < (1e-9 if F64 else 5e-4)
 
 
 def test_heat_banded_mg_matches_dense():
@@ -136,14 +146,17 @@ def test_heat_banded_mg_matches_dense():
     rng = np.random.default_rng(4)
     x = rng.integers(0, 6, size=(30, 2)).astype(float)
     fa, fb = a.eval_f(x), b.eval_f(x)
-    assert abs(fa - fb) / abs(fa) < 1e-10
+    assert abs(fa - fb) / abs(fa) < (1e-10 if F64 else 5e-4)
     a.x = jnp.asarray(x); a.eval_f_(); a.eval_df_()
     b.x = jnp.asarray(x); b.eval_f_(); b.eval_df_()
-    np.testing.assert_allclose(np.asarray(b.df), np.asarray(a.df), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(b.df), np.asarray(a.df),
+                               rtol=1e-8 if F64 else 2e-3,
+                               atol=0 if F64 else 5e-3)
     # States come back permuted; unpermute_dofs restores assembly order.
     ya = np.asarray(a.state)
     yb = b.unpermute_dofs(b.state)
-    np.testing.assert_allclose(yb, ya, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(yb, ya, rtol=1e-8 if F64 else 1e-3,
+                               atol=1e-10 if F64 else 1e-4)
 
 
 def test_banded_matvec_rectangular():
@@ -161,5 +174,5 @@ def test_banded_matvec_rectangular():
     x = rng.normal(size=75)
     np.testing.assert_allclose(
         np.asarray(banded_matvec(spec, jnp.asarray(blk), jnp.asarray(x))),
-        A @ x, rtol=1e-12,
+        A @ x, rtol=1e-12 if F64 else 1e-4,
     )

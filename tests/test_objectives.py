@@ -9,10 +9,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from _precision import F64, FD_CENTRAL, FD_RTOL, FD_T
 from mioc_tpu.models import ConvObj, DTMObj, LVMObj, VPOObj
 
 
-def directional_fd_check(obj, x_base, scale_by_tau=True, seed=0, t=1e-6, rtol=5e-4):
+def directional_fd_check(obj, x_base, scale_by_tau=True, seed=0, t=None,
+                         rtol=None):
+    t = FD_T if t is None else t
+    rtol = FD_RTOL if rtol is None else rtol
     obj.x = jnp.asarray(x_base)
     f0 = obj.eval_f_()
     obj.eval_df_()
@@ -22,7 +26,13 @@ def directional_fd_check(obj, x_base, scale_by_tau=True, seed=0, t=1e-6, rtol=5e
     if scale_by_tau:
         dfh *= obj.tau
     fn = obj.eval_f(np.asarray(x_base) + t * h)
-    fd = (fn - f0) / t
+    if FD_CENTRAL:
+        # f32: forward differences drown in objective roundoff; a central
+        # difference at a larger step keeps the check meaningful.
+        fb = obj.eval_f(np.asarray(x_base) - t * h)
+        fd = (fn - fb) / (2 * t)
+    else:
+        fd = (fn - f0) / t
     assert abs(fd - dfh) <= rtol * max(1.0, abs(dfh)), (fd, dfh)
 
 
@@ -45,7 +55,8 @@ def test_convolution_gradient():
     # Reference's test_df does NOT scale by tau here (example_convolution.jl:170-172)
     # because K/M already carry the integration weights.
     obj = ConvObj(nt=256)
-    directional_fd_check(obj, np.ones((obj.nt, 1)), scale_by_tau=False, rtol=1e-6)
+    directional_fd_check(obj, np.ones((obj.nt, 1)), scale_by_tau=False,
+                         rtol=1e-6 if F64 else None)
 
 
 def test_convolution_quadratic_exact():
@@ -58,9 +69,9 @@ def test_convolution_quadratic_exact():
     h = np.random.default_rng(1).normal(size=x.shape)
     dfh = float(jnp.sum(obj.df * h))
     # Central difference kills the quadratic term entirely.
-    t = 1e-4
+    t = 1e-4 if F64 else 1e-1
     fd = (obj.eval_f(x + t * h) - obj.eval_f(x - t * h)) / (2 * t)
-    np.testing.assert_allclose(fd, dfh, rtol=1e-9)
+    np.testing.assert_allclose(fd, dfh, rtol=1e-9 if F64 else 2e-4)
 
 
 def test_eval_counters_and_cache():
@@ -130,7 +141,7 @@ def test_user_facing_fd_jacobian_checkers(cls):
     classic V-shape minimum well below the coarse-step error."""
     obj = cls(nt=64)
     for errs in (obj.test_Fy(seed=0), obj.test_Fu(seed=0)):
-        assert errs.min() < 1e-6
+        assert errs.min() < (1e-6 if F64 else 3e-3)
         assert np.all(np.isfinite(errs))
 
 

@@ -27,6 +27,31 @@ pytestmark = pytest.mark.skipif(
     jax.device_count() < 2, reason="needs multiple (virtual) devices"
 )
 
+from _precision import F64  # noqa: E402
+
+# Temporal-DP equality vs the sequential sweep: the two-level banded form
+# sums stage costs in a different association, so in f32 the value tables
+# carry ~1e-7 relative noise and argmin ties can flip; paths are then
+# compared by COST (both optimal within roundoff) instead of index-exactly.
+TDP_RTOL = 1e-10 if F64 else 2e-5
+
+
+def _path_cost(idx, grad, u_old, levels, jump, tau):
+    """Total DP objective of a level-index path (stage costs + jumps)."""
+    stage, _ = stage_tables(grad, u_old, levels, tau)
+    stage, jc, idx = np.asarray(stage), np.asarray(jump), np.asarray(idx)
+    return (stage[np.arange(len(idx)), idx].sum()
+            + jc[idx[:-1], idx[1:]].sum())
+
+
+def _assert_paths_match(i_a, i_b, grad, u_old, levels, jump, tau):
+    if F64:
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+    else:
+        np.testing.assert_allclose(
+            _path_cost(i_a, grad, u_old, levels, jump, tau),
+            _path_cost(i_b, grad, u_old, levels, jump, tau), rtol=2e-5)
+
 
 def _problem(L_set, nt, B, seed=0, p=1, beta=0.1):
     rng = np.random.default_rng(seed)
@@ -66,18 +91,11 @@ def test_temporal_dp_matches_sequential():
     u_tmp, idx_tmp, phis = temporal_dp_solve(grad, u_old, levels, jump, tau, 6)
     # Value tables agree (Φ_0 slice); paths have identical cost.
     np.testing.assert_allclose(
-        np.asarray(phis[0]).T, np.asarray(phi0), rtol=1e-10
+        np.asarray(phis[0]).T, np.asarray(phi0), rtol=TDP_RTOL
     )
-    stage, bt = stage_tables(grad, u_old, levels, tau)
-    stage, bt, jc = np.asarray(stage), np.asarray(bt), np.asarray(jump)
-
-    def cost(idx):
-        c = sum(stage[i, idx[i]] for i in range(len(idx)))
-        c += sum(jc[idx[i], idx[i + 1]] for i in range(len(idx) - 1))
-        return c
-
     np.testing.assert_allclose(
-        cost(np.asarray(idx_tmp)), cost(np.asarray(idx_seq)), rtol=1e-10
+        _path_cost(idx_tmp, grad, u_old, levels, jump, tau),
+        _path_cost(idx_seq, grad, u_old, levels, jump, tau), rtol=TDP_RTOL
     )
 
 
@@ -164,9 +182,9 @@ def test_temporal_dp_banded_at_preset_scale():
                                            12.0 / 1024, 170)
     u_t, i_t, phis = temporal_dp_solve(grad, u_old, levels, jump,
                                        12.0 / 1024, 170)
-    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_s))
+    _assert_paths_match(i_t, i_s, grad, u_old, levels, jump, 12.0 / 1024)
     np.testing.assert_allclose(np.asarray(phis[0]).T, np.asarray(phi0),
-                               rtol=1e-10)
+                               rtol=TDP_RTOL, atol=0 if F64 else 1e-6)
 
     # heat's L=36 product set (nt/B reduced to keep CI fast).
     adm, grad, u_old, jump, levels = _problem(
@@ -174,9 +192,9 @@ def test_temporal_dp_banded_at_preset_scale():
     )
     u_s, i_s, (U, phi0, btilde) = dp_solve(grad, u_old, levels, jump, 0.05, 40)
     u_t, i_t, phis = temporal_dp_solve(grad, u_old, levels, jump, 0.05, 40)
-    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_s))
+    _assert_paths_match(i_t, i_s, grad, u_old, levels, jump, 0.05)
     np.testing.assert_allclose(np.asarray(phis[0]).T, np.asarray(phi0),
-                               rtol=1e-10)
+                               rtol=TDP_RTOL, atol=0 if F64 else 1e-6)
 
 
 def test_temporal_dp_chunk_parameter():
@@ -188,7 +206,7 @@ def test_temporal_dp_chunk_parameter():
     for K in (1, 5, 36, 64):
         phis = temporal_dp_solve(grad, u_old, levels, jump, 0.1, 9, chunk=K)[2]
         np.testing.assert_allclose(np.asarray(phis), np.asarray(ref),
-                                   rtol=1e-12)
+                                   rtol=1e-12 if F64 else 1e-5)
 
 
 def test_batched_trm_step_matches_sequential():

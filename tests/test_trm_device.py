@@ -4,6 +4,7 @@ iterates, plus batched multistart."""
 import numpy as np
 import pytest
 
+from _precision import F64
 from mioc_tpu.models import ConvObj, LVMObj
 from mioc_tpu.solvers.trm import TRMParameters, trm_solve
 from mioc_tpu.solvers.trm_device import (
@@ -12,6 +13,11 @@ from mioc_tpu.solvers.trm_device import (
     trm_solve_device,
 )
 from mioc_tpu.utils.init import rand_func
+
+# Host and device loops compute J through differently-fused reductions; the
+# controls still bit-match, but in f32 the objective value carries ~1e-7
+# relative noise (f64 CPU suite keeps the strict bound).
+J_RTOL = 1e-12 if F64 else 1e-6
 
 
 @pytest.mark.parametrize(
@@ -30,7 +36,7 @@ def test_device_loop_matches_host_fishing(params):
     dev = trm_solve_device(obj_d, params, x0=x0)
     assert bool(dev.converged) == host.converged
     np.testing.assert_array_equal(np.asarray(dev.u), host.u)
-    np.testing.assert_allclose(float(dev.J), host.J, rtol=1e-12)
+    np.testing.assert_allclose(float(dev.J), host.J, rtol=J_RTOL)
     assert int(dev.iterations) == host.iterations
     assert int(dev.inner_steps) == host.inner_steps
     # Measured counters equal the host loop's (the host computes one extra
@@ -47,7 +53,7 @@ def test_device_loop_matches_host_convolution():
     host = trm_solve(obj_h, params, x0=x0)
     dev = trm_solve_device(obj_d, params, x0=x0)
     np.testing.assert_array_equal(np.asarray(dev.u), host.u)
-    np.testing.assert_allclose(float(dev.J), host.J, rtol=1e-12)
+    np.testing.assert_allclose(float(dev.J), host.J, rtol=J_RTOL)
 
 
 def test_outer_chunk_segmenting_is_exact():
@@ -142,4 +148,4 @@ def test_device_loop_matches_host_heat():
     host = trm_solve(obj_h, params, x0=x0)
     dev = trm_solve_device(obj_d, params, x0=x0)
     np.testing.assert_array_equal(np.asarray(dev.u), host.u)
-    np.testing.assert_allclose(float(dev.J), host.J, rtol=1e-10)
+    np.testing.assert_allclose(float(dev.J), host.J, rtol=max(J_RTOL, 1e-10))
