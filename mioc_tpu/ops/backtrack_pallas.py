@@ -127,15 +127,171 @@ def _bt_kernel(
     idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
 
 
+def _bt_kernel_batched(
+    bnew_ref,     # (S, 1) i32, VMEM — per-start budget cap (traced halvings)
+    phi0_ref,     # (S, Lp, Bp) f32, VMEM
+    btilde_ref,   # (nt, S, L) i32, VMEM — time-major, unpadded level axis
+    U_hbm_ref,    # (S, Tp, Lp, Bp) i32, HBM; Tp ≥ ceil(nsteps/K)·K
+    idx_ref,      # out: (S, ntp) i32, VMEM
+    u_buf_ref,    # scratch: (2, S, K, Lp, Bp) i32 — double-buffered prefetch
+    idx_buf_ref,  # scratch: (S, 128) i32 — staging rows (see _bt_kernel)
+    sem,          # DMA semaphores (2,)
+    *,
+    nt: int,
+    K: int,
+):
+    """Batched path chase: all S starts advance in lockstep vector ops
+    ((S·Lp) sublanes × Bp lanes), replacing the vmapped XLA-scan backtrack
+    whose 3 tiny dispatches per time step cost ~1.7 µs each — measured 1.75
+    ms per chase at ×32 fishing nt=1024 vs ~0.4 ms here, and the TRM chases
+    ~7× per outer iteration (halvings re-chase the same tables)."""
+    S, Lp, Bp = phi0_ref.shape
+    L = btilde_ref.shape[2]
+    nsteps = nt - 1
+    nchunks = -(-nsteps // K)
+    # Mosaic implements neither sublane vector broadcasts nor combined
+    # sublane+lane broadcasts, so per-start (S, 1) state NEVER meets the
+    # sublane (level) axis directly: the L level rows are statically
+    # unrolled (L is small and static) and each row is selected with a
+    # python-int comparison — only supported lane-only broadcasts
+    # ((S, 1) → (S, Bp)) remain.
+    b_row = jax.lax.broadcasted_iota(jnp.int32, (S, Bp), 1)
+    t128 = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+
+    # Per-start seed argmin in the reference's column-major order (budget
+    # fastest, then combination — HelpFunctions.jl:106): smallest l among
+    # rows attaining the global min, then smallest admissible b in that row.
+    bmask = b_row <= bnew_ref[:]                  # (S, Bp), lane broadcast
+    gmin = jnp.full((S, 1), _INF)
+    rowmins, rowbs = [], []
+    for j in range(L):
+        masked_j = jnp.where(bmask, phi0_ref[:, j], _INF)      # (S, Bp)
+        rm = jnp.min(masked_j, axis=1, keepdims=True)          # (S, 1)
+        rb = jnp.min(jnp.where(masked_j == rm, b_row, _BIG),
+                     axis=1, keepdims=True)                    # (S, 1)
+        rowmins.append(rm)
+        rowbs.append(rb)
+        gmin = jnp.minimum(gmin, rm)
+    l0 = jnp.full((S, 1), _BIG)
+    b0 = jnp.zeros((S, 1), jnp.int32)
+    for j in range(L):
+        hit = (rowmins[j] == gmin) & (l0 == _BIG)  # first (smallest) l wins
+        l0 = jnp.where(hit, j, l0)
+        b0 = jnp.where(hit, rowbs[j], b0)
+    idx_buf_ref[:] = jnp.where(t128 == 0, l0, jnp.zeros((S, 128), jnp.int32))
+
+    def start_chunk(c, slot):
+        pltpu.make_async_copy(
+            U_hbm_ref.at[:, pl.ds(c * K, K)], u_buf_ref.at[slot], sem.at[slot]
+        ).start()
+
+    start_chunk(0, 0)
+    if nchunks > 1:
+        start_chunk(1, 1)
+
+    def step(k, carry):
+        l, b = carry  # (S, 1) i32 each
+        chunk = k // K
+        row = k - chunk * K
+        slot = jax.lax.rem(chunk, 2)
+
+        @pl.when(row == 0)
+        def _():
+            pltpu.make_async_copy(
+                U_hbm_ref.at[:, pl.ds(chunk * K, K)], u_buf_ref.at[slot],
+                sem.at[slot],
+            ).wait()
+
+        # Dynamic (l, b) extraction per start: statically-unrolled row
+        # select (scalar compare per level — see broadcast note above),
+        # then a masked lane reduction for the budget column.
+        plane = u_buf_ref[slot, :, row]  # (S, Lp, Bp)
+        rowv = jnp.where(l == 0, plane[:, 0], 0)         # (S, Bp)
+        for j in range(1, L):
+            rowv = jnp.where(l == j, plane[:, j], rowv)
+        l_next = jnp.max(jnp.where(b_row == b, rowv, 0),
+                         axis=1, keepdims=True)          # (S, 1)
+        bt_row = btilde_ref[k]  # (S, L)
+        bt_l = jnp.where(l == 0, bt_row[:, :1], 0)
+        for j in range(1, L):
+            bt_l = jnp.where(l == j, bt_row[:, j:j + 1], bt_l)
+        b_next = b - bt_l  # decrement AFTER lookup
+
+        p = k + 1
+        out_chunk = p // 128
+        out_row = p - out_chunk * 128
+
+        @pl.when(out_row == 0)
+        def _():
+            idx_ref[:, pl.ds((out_chunk - 1) * 128, 128)] = idx_buf_ref[:]
+            idx_buf_ref[:] = jnp.zeros((S, 128), jnp.int32)
+
+        idx_buf_ref[:] = jnp.where(t128 == out_row, l_next, idx_buf_ref[:])
+
+        @pl.when((row == K - 1) & (chunk + 2 <= nchunks - 1))
+        def _():
+            start_chunk(chunk + 2, slot)
+
+        return (l_next, b_next)
+
+    jax.lax.fori_loop(0, nsteps, step, (l0, b0))
+    idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
+
+
+def _backtrack_batched_impl(U, phi0, btilde, levels, B_new,
+                            interpret: bool = False):
+    """Dispatch the batched chase kernel on padded tables ``U (S, T, Lp, Bp)``
+    (raw ``T = _tpad(nt-1)`` or sliced ``T = nt-1``), ``phi0 (S, Lp, Bp)``,
+    ``btilde (S, nt, L)``, per-start traced budgets ``B_new ()`` or
+    ``(S,)``."""
+    from .bellman_pallas import _chunk_size, _tpad
+
+    S, T, Lp, Bp = U.shape
+    nt = btilde.shape[1]
+    nsteps = nt - 1
+    K = _chunk_size(nsteps, Lp, Bp, S)
+    need = -(-nsteps // K) * K
+    if T < need:  # sliced tables: re-pad the time axis (raw ones never hit)
+        U = jnp.concatenate(
+            [U, jnp.zeros((S, _tpad(nsteps) - T, Lp, Bp), U.dtype)], axis=1)
+
+    bnew = jnp.broadcast_to(jnp.asarray(B_new, jnp.int32).reshape(-1, 1),
+                            (S, 1))
+    ntp = -(-nt // 128) * 128
+    kernel = functools.partial(_bt_kernel_batched, nt=nt, K=K)
+    idx = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S, ntp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # U stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, S, K, Lp, Bp), jnp.int32),
+            pltpu.VMEM((S, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(bnew, phi0.astype(jnp.float32), btilde.transpose(1, 0, 2), U)
+    level_idx = idx[:, :nt]
+    levels = jnp.asarray(levels)
+    return levels[level_idx], level_idx
+
+
 def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
     from .bellman_pallas import _chunk_size
 
-    nsteps, Lp, Bp = U.shape
-    nt = nsteps + 1
+    T, Lp, Bp = U.shape
+    nt = btilde.shape[0]
+    nsteps = nt - 1
     K = _chunk_size(nsteps, Lp, Bp)
     nchunks = -(-nsteps // K)
-    pad = nchunks * K - nsteps
-    if pad:
+    pad = nchunks * K - T
+    if pad > 0:
         U = jnp.concatenate([U, jnp.zeros((pad, Lp, Bp), U.dtype)])
 
     bnew = jnp.asarray(B_new, jnp.int32).reshape(1, 1)
@@ -167,7 +323,9 @@ def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
 @functools.lru_cache(maxsize=None)
 def _cv_backtrack(interpret: bool):
     """custom_vmap wrapper: jax.vmap of the fused backtrack dispatches to the
-    (bit-identical) vmapped XLA-scan backtrack."""
+    batched chase kernel on tile-padded tables (the vmapped device TRM), and
+    to the bit-identical vmapped XLA-scan backtrack otherwise (compact
+    tables, batched levels)."""
     from jax import custom_batching
 
     @custom_batching.custom_vmap
@@ -176,10 +334,24 @@ def _cv_backtrack(interpret: bool):
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, U, phi0, btilde, levels, B_new):
+        ub, pb, bb, lb, nb = in_batched
+        padded = U.shape[-1] % 128 == 0 and U.shape[-2] % 8 == 0
+        if padded and not lb:
+            if not ub:
+                U = jnp.broadcast_to(U[None], (axis_size,) + U.shape)
+            if not pb:
+                phi0 = jnp.broadcast_to(phi0[None], (axis_size,) + phi0.shape)
+            if not bb:
+                btilde = jnp.broadcast_to(btilde[None],
+                                          (axis_size,) + btilde.shape)
+            out = _backtrack_batched_impl(U, phi0, btilde, levels, B_new,
+                                          interpret)
+            return out, (True, True)
         from .bellman import backtrack
 
         in_axes = tuple(0 if b else None for b in in_batched)
-        out = jax.vmap(backtrack, in_axes=in_axes)(U, phi0, btilde, levels, B_new)
+        out = jax.vmap(backtrack, in_axes=in_axes)(U, phi0, btilde, levels,
+                                                   B_new)
         return out, (True, True)
 
     return fn

@@ -39,9 +39,20 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _chunk_size(nsteps: int, Lp: int, Bp: int) -> int:
-    """U-streaming chunk length: ≤ ~2 MB per double-buffer slot."""
-    return max(1, min(64, nsteps, (2 << 20) // (Lp * Bp * 4)))
+def _chunk_size(nsteps: int, Lp: int, Bp: int, S: int = 1) -> int:
+    """U-streaming chunk length: ≤ ~2 MB per double-buffer slot, floored to a
+    power of two so every kernel over the same tables (build, batched chase)
+    computes K | 64 and stays within the shared raw padded time axis
+    (``_tpad``)."""
+    K = max(1, min(64, nsteps, (2 << 20) // (S * Lp * Bp * 4)))
+    return 1 << (K.bit_length() - 1)
+
+
+def _tpad(nsteps: int) -> int:
+    """Raw U time-axis padding: the fixed multiple-of-64 length that bounds
+    ``ceil(nsteps/K)*K`` for every power-of-two ``K ≤ 64`` — so tables built
+    with one chunk size can be chased with another without re-padding."""
+    return -(-nsteps // 64) * 64
 
 
 def _pad_operands(stage, btilde, jump_cost, L: int, Lp: int, Bp: int):
@@ -278,7 +289,7 @@ def _dp_kernel_batched(
 
 
 def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
-                       interpret: bool = False):
+                       interpret: bool = False, raw_u: bool = False):
     nt, L = stage.shape
     Lp = _round_up(max(L, 8), 8)
     Bp = _round_up(B + 1, 128)
@@ -286,13 +297,12 @@ def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
 
     nsteps = nt - 1
     K = _chunk_size(nsteps, Lp, Bp)
-    nchunks = -(-nsteps // K)
 
     kernel = functools.partial(_dp_kernel, nt=nt, L=L, smax=min(smax, B), K=K)
     U, phi0 = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((nchunks * K, Lp, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((_tpad(nsteps), Lp, Bp), jnp.int32),
             jax.ShapeDtypeStruct((Lp, Bp), jnp.float32),
         ),
         in_specs=[
@@ -312,18 +322,19 @@ def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(stage_p, btilde_p, jump_p)
-    return U[:nsteps], phi0
+    return (U if raw_u else U[:nsteps]), phi0
 
 
 @functools.lru_cache(maxsize=None)
-def _cv_build(B: int, smax: int, interpret: bool):
+def _cv_build(B: int, smax: int, interpret: bool, raw_u: bool = False):
     """custom_vmap wrapper: jax.vmap of the fused build dispatches to the
     batched (grid-over-batch) kernel instead of failing to batch pallas_call."""
     from jax import custom_batching
 
     @custom_batching.custom_vmap
     def fn(stage, btilde, jump_cost):
-        return _build_tables_impl(stage, btilde, jump_cost, B, smax, interpret)
+        return _build_tables_impl(stage, btilde, jump_cost, B, smax, interpret,
+                                  raw_u)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, stage, btilde, jump_cost):
@@ -331,7 +342,8 @@ def _cv_build(B: int, smax: int, interpret: bool):
         if jb:
             # Batched jump table (different β per element): sequential map.
             out = jax.lax.map(
-                lambda args: _build_tables_impl(*args, B, smax, interpret),
+                lambda args: _build_tables_impl(*args, B, smax, interpret,
+                                                raw_u),
                 (stage, btilde, jump_cost),
             )
             return out, (True, True)
@@ -340,29 +352,37 @@ def _cv_build(B: int, smax: int, interpret: bool):
         if not bb:
             btilde = jnp.broadcast_to(btilde[None], (axis_size,) + btilde.shape)
         out = build_tables_pallas_batched(stage, btilde, jump_cost, B, smax,
-                                          interpret)
+                                          interpret, raw_u=raw_u)
         return out, (True, True)
 
     return fn
 
 
-@functools.partial(jax.jit, static_argnames=("B", "smax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("B", "smax", "interpret", "raw_u"))
 def build_tables_pallas(stage, btilde, jump_cost, B: int, smax: int,
-                        interpret: bool = False):
+                        interpret: bool = False, raw_u: bool = False):
     """Fused-kernel equivalent of :func:`mioc_tpu.ops.bellman.build_tables`.
 
     Returns ``(U, phi0)`` with padded shapes ``(nt-1, Lp, Bp)`` / ``(Lp, Bp)``
     where ``Lp = roundup(L, 8)``, ``Bp = roundup(B+1, 128)``; padded level
     rows hold ``+inf`` in ``phi0`` and are never selected by ``backtrack``.
     Supports ``jax.vmap`` via the batched grid kernel.
+
+    ``raw_u=True`` keeps U's time axis at the kernel's DMA padding
+    (``_tpad(nt-1)``, a multiple of 64) instead of slicing to ``nt-1`` —
+    the layout the fused backtrack kernels chase in place, sparing the
+    ~0.6 ms/build slice-copy XLA otherwise materializes inside the TRM loop.
     """
-    return _cv_build(B, min(smax, B), interpret)(stage, btilde, jump_cost)
+    return _cv_build(B, min(smax, B), interpret, raw_u)(stage, btilde,
+                                                        jump_cost)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("B", "smax", "interpret", "unroll"))
+                   static_argnames=("B", "smax", "interpret", "unroll",
+                                    "raw_u"))
 def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
-                                interpret: bool = False, unroll: int = 4):
+                                interpret: bool = False, unroll: int = 4,
+                                raw_u: bool = False):
     """Batched fused DP build with the start axis inside ONE kernel
     invocation: Φ for all ``S`` starts lives in VMEM as ``(S, Lp, Bp)`` and
     every vector op advances the whole batch (``(S·Lp)`` sublanes × ``Bp``
@@ -381,8 +401,7 @@ def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
     btilde_p = btilde_p.transpose(1, 0, 2)
 
     nsteps = nt - 1
-    K = max(1, min(64, nsteps, (2 << 20) // (S * Lp * Bp * 4)))
-    nchunks = -(-nsteps // K)
+    K = _chunk_size(nsteps, Lp, Bp, S)
 
     kernel = functools.partial(
         _dp_kernel_batched, nt=nt, L=L, smax=min(smax, B), K=K, unroll=unroll
@@ -390,7 +409,7 @@ def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
     U, phi0 = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((S, nchunks * K, Lp, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((S, _tpad(nsteps), Lp, Bp), jnp.int32),
             jax.ShapeDtypeStruct((S, Lp, Bp), jnp.float32),
         ),
         in_specs=[
@@ -410,4 +429,4 @@ def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(stage_p, btilde_p, jump_p)
-    return U[:, :nsteps], phi0
+    return (U if raw_u else U[:, :nsteps]), phi0

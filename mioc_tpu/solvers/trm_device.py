@@ -56,12 +56,13 @@ _DEVICE_TRM_CACHE: dict = {}
 
 
 def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
-                    outer_chunk=None, compact_tables: bool = False):
+                    outer_chunk=None):
     """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
     parameters ``par`` (a TRMParameters).  The returned function contains the
-    full TRM; vmap it for batched multistart (``use_pallas=False`` there —
-    the fused kernels are not batched).  Compiled solvers are cached per
-    (objective parameters, solver parameters) like the sweep cache.
+    full TRM; vmap it for batched multistart — with ``use_pallas`` both fused
+    kernels batch via their custom_vmap rules (start axis inside one kernel
+    invocation).  Compiled solvers are cached per (objective parameters,
+    solver parameters) like the sweep cache.
 
     ``outer_chunk`` segments the solve into dispatches of at most that many
     outer iterations (the carry stays on device; only the stop flag and the
@@ -93,23 +94,23 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     jump_np = jump_cost_table(levels_np, p, beta=beta, compat_pinf=par.compat_pinf)
     if use_pallas is None:
         use_pallas = par.use_pallas if par.use_pallas is not None else pallas_supported()
-    if use_pallas and compact_tables:
-        # Multistart layout: slice the fused build's padded tables (Lp, Bp)
-        # back to compact (L, B+1) ONCE per build, then every backtrack —
-        # including trust-region halvings, which re-chase the same tables —
-        # reads 6× less U traffic (fishing: 45 vs 268 MB per chase).  The
-        # single-start fused backtrack kernel is not used here because vmap
-        # falls back to the scan backtrack anyway (backtrack_pallas._rule).
-        _L = len(levels_np)
-
+    if use_pallas:
+        # Raw (unsliced) padded tables flow straight from the fused build
+        # into the fused chase kernels — XLA otherwise materializes a ~0.6
+        # ms slice copy of U inside the TRM loop (profiled: slice.308 +
+        # copy.150, benchmarks/multistart_trace.py).  Under vmap the chase
+        # dispatches the batched kernel (all starts chased in lockstep
+        # vector ops), replacing the vmapped scan backtrack whose tiny
+        # per-step dispatches dominated the multistart iteration (~1.75 ms
+        # × ~7 chases per outer iteration at ×32 fishing nt=1024).
         def dp_build(stage, btilde, jump, B, smax):
-            U, phi0 = build_tables_pallas(stage, btilde, jump, B, smax)
-            return U[..., :_L, :B + 1], phi0[..., :_L, :B + 1]
+            return build_tables_pallas(stage, btilde, jump, B, smax,
+                                       raw_u=True)
 
-        dp_backtrack = backtrack
+        dp_backtrack = backtrack_pallas
     else:
-        dp_build = build_tables_pallas if use_pallas else build_tables
-        dp_backtrack = backtrack_pallas if use_pallas else backtrack
+        dp_build = build_tables
+        dp_backtrack = backtrack
 
     # Objectives without a state cache (e.g. ConvObj) return aux None from the
     # forward sweep; the while-loop carry needs an array, so a dummy is
@@ -242,7 +243,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
 
     cache_key = (
         type(obj), _params_key(obj), beta, sigma, p, kmax, maxiter, delta0,
-        bool(par.compat_pinf), bool(use_pallas), bool(compact_tables),
+        bool(par.compat_pinf), bool(use_pallas),
     )
     jits = _DEVICE_TRM_CACHE.get(cache_key)
     if jits is None:
@@ -390,8 +391,9 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     """Batched multistart: vmap the device TRM over ``x0s (S, nt, nx)``;
     every start runs its own accept/halve schedule in lockstep hardware.
     Returns the vmapped DeviceTRMResult (one readback).  The fused Pallas DP
-    build batches via its custom_vmap rule (start axis folded inside one
-    kernel invocation); pass ``use_pallas=False`` to force the XLA-scan DP.
+    build AND backtrack batch via their custom_vmap rules (start axis folded
+    inside one kernel invocation each); pass ``use_pallas=False`` to force
+    the XLA-scan DP.
 
     With a device ``mesh`` the start axis is sharded over its ``batch`` axis
     (scenario data parallelism across chips).
@@ -403,14 +405,16 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     deadline in one dispatch.  Default ``None`` keeps the single-dispatch
     behavior (results are identical either way).
 
-    Batched solves default to the XLA-scan DP: the batched Pallas build runs
-    its grid sequentially per start, and the scan vectorizes across the
-    batch instead — measured 50 vs 75 ms/solve at ×32 fishing nt=1024 on
-    v5e (BASELINE_SELF.md).  Pass ``use_pallas=True`` to opt in."""
+    Batched solves default to the fused Pallas kernels on TPU (raw padded
+    tables flow build → chase with no intermediate copies): 26.5 vs the
+    scan path's 49.9 ms/solve at ×32 fishing nt=1024 on v5e, bit-matching
+    controls (round 1 shipped the opposite default — its grid-over-starts
+    kernel LOST at 75 ms/solve; the start axis now lives inside one kernel
+    invocation for both build and backtrack)."""
     if use_pallas is None:
-        use_pallas = False
-    run = make_device_trm(obj, par, use_pallas=use_pallas,
-                          compact_tables=use_pallas)
+        use_pallas = par.use_pallas if par.use_pallas is not None \
+            else pallas_supported()
+    run = make_device_trm(obj, par, use_pallas=use_pallas)
     levels, jump, sweep_ops = run.operands
     x0s = jnp.asarray(x0s, dtype=levels.dtype)
 

@@ -302,3 +302,49 @@ def test_pallas_kernels_interpret_L36():
                              interpret=INTERPRET)[1]
         )
         np.testing.assert_array_equal(i_s, i_k)
+
+
+def test_vmapped_pallas_backtrack_batched_chase():
+    """jax.vmap of the fused backtrack on tile-padded RAW tables dispatches
+    the batched chase kernel (backtrack_pallas._rule); per-start traced
+    budgets (the TRM's independent halving schedules) and the scalar
+    broadcast case both bit-match the scan backtrack.  Interpret mode on
+    CPU; compiled on TPU (MIOC_TEST_TPU=1)."""
+    import jax
+
+    from mioc_tpu.ops.backtrack_pallas import backtrack_pallas
+    from mioc_tpu.ops.bellman import backtrack, build_tables, max_budget_use
+    from mioc_tpu.ops.bellman_pallas import build_tables_pallas
+
+    rng = np.random.default_rng(5)
+    s = bounded_sum_levels([[0, 1], [0, 1], [0, 1]], 1, 1)
+    nt, B, tau, S = 200, 23, 0.1, 4
+    levels = jnp.asarray(s.levels)
+    jump = jnp.asarray(jump_cost_table(s.levels, p=np.inf, beta=1e-3))
+    smax = max_budget_use(s.levels)
+    grads = jnp.asarray(rng.normal(size=(S, nt, 3)))
+    u_olds = jnp.asarray(s.levels[rng.integers(0, s.L, size=(S, nt))])
+    stage_b, btilde_b = jax.vmap(stage_tables, in_axes=(0, 0, None, None))(
+        grads, u_olds, levels, tau)
+
+    # Raw (unsliced, multiple-of-64 time axis) tables — the device-TRM layout.
+    U_b, phi_b = jax.vmap(
+        lambda st, bt: build_tables_pallas(st, bt, jump, B, smax,
+                                           interpret=INTERPRET, raw_u=True)
+    )(stage_b, btilde_b)
+    assert U_b.shape[1] % 64 == 0 and U_b.shape[1] >= nt - 1
+
+    U_r, phi_r = jax.vmap(
+        lambda st, bt: build_tables(st, bt, jump, B, smax))(stage_b, btilde_b)
+
+    for B_new in (jnp.asarray(rng.integers(1, B + 1, size=S), jnp.int32),
+                  jnp.int32(B)):
+        in_ax = 0 if getattr(B_new, "ndim", 0) else None
+        _, i_k = jax.vmap(
+            lambda U, ph, bt, Bn: backtrack_pallas(U, ph, bt, levels, Bn,
+                                                   interpret=INTERPRET),
+            in_axes=(0, 0, 0, in_ax))(U_b, phi_b, btilde_b, B_new)
+        _, i_s = jax.vmap(
+            lambda U, ph, bt, Bn: backtrack(U, ph, bt, levels, Bn),
+            in_axes=(0, 0, 0, in_ax))(U_r, phi_r, btilde_b, B_new)
+        np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_s))
