@@ -318,9 +318,14 @@ class PDEObjective(LazyObjective):
                 else:
                     make_pc = lambda ops: ops["_dinv"]
 
+        # TPU matmuls default to reduced (bf16-pass) precision; the PDE
+        # sweeps are the framework's physics fidelity (the reference is f64)
+        # — trace them at full-f32 MXU precision.  Measured error without
+        # this: ~1e-3 relative on the heat objective (TPU_TESTS_r02.md);
+        # the matrices are small, so the cost is negligible.
         @jax.jit
         def forward(x, ops):
-            with self._bound(ops):
+            with self._bound(ops), jax.default_matmul_precision("highest"):
                 M_invF = ops["M_invF"]
                 if cg_mode:
                     Kmv, Mmv, pc = make_K(ops), make_M(ops), make_pc(ops)
@@ -350,7 +355,7 @@ class PDEObjective(LazyObjective):
 
         @jax.jit
         def adjoint(x, ys_all, ops):
-            with self._bound(ops):
+            with self._bound(ops), jax.default_matmul_precision("highest"):
                 M_invF = ops["M_invF"]
                 lamT = jnp.zeros(self.Nglobal_dofs, self.dtype)
                 if cg_mode:

@@ -348,3 +348,42 @@ def test_vmapped_pallas_backtrack_batched_chase():
             lambda U, ph, bt, Bn: backtrack(U, ph, bt, levels, Bn),
             in_axes=(0, 0, 0, in_ax))(U_r, phi_r, btilde_b, B_new)
         np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_s))
+
+
+def test_vmapped_pallas_backtrack_batched_chase_L36():
+    """Batched chase at the heat-scale level count: the statically-unrolled
+    row select runs 36 python-int-compare branches per step (L=36, Lp=40);
+    raw tables + per-start budgets, vs the vmapped scan backtrack."""
+    import jax
+
+    from mioc_tpu.ops.backtrack_pallas import backtrack_pallas
+    from mioc_tpu.ops.bellman import backtrack, build_tables, max_budget_use
+    from mioc_tpu.ops.bellman_pallas import build_tables_pallas
+
+    s = product_levels([[0, 1, 2, 3, 4, 5]] * 2)
+    rng = np.random.default_rng(9)
+    nt, B, tau, S = 70, 12, 0.1, 3
+    levels = jnp.asarray(s.levels)
+    jump = jnp.asarray(jump_cost_table(s.levels, p=2, beta=1e-3))
+    smax = max_budget_use(s.levels)
+    grads = jnp.asarray(rng.normal(size=(S, nt, 2)))
+    u_olds = jnp.asarray(s.levels[rng.integers(0, 36, size=(S, nt))])
+    stage_b, btilde_b = jax.vmap(stage_tables, in_axes=(0, 0, None, None))(
+        grads, u_olds, levels, tau)
+
+    U_b, phi_b = jax.vmap(
+        lambda st, bt: build_tables_pallas(st, bt, jump, B, smax,
+                                           interpret=INTERPRET, raw_u=True)
+    )(stage_b, btilde_b)
+    U_r, phi_r = jax.vmap(
+        lambda st, bt: build_tables(st, bt, jump, B, smax))(stage_b, btilde_b)
+
+    Bns = jnp.asarray([B, 5, 0], jnp.int32)
+    _, i_k = jax.vmap(
+        lambda U, ph, bt, Bn: backtrack_pallas(U, ph, bt, levels, Bn,
+                                               interpret=INTERPRET)
+    )(U_b, phi_b, btilde_b, Bns)
+    _, i_s = jax.vmap(
+        lambda U, ph, bt, Bn: backtrack(U, ph, bt, levels, Bn)
+    )(U_r, phi_r, btilde_b, Bns)
+    np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_s))

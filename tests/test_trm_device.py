@@ -91,7 +91,9 @@ def test_multistart_device_batch():
     # Each batched solve must equal its standalone device solve.
     single = trm_solve_device(LVMObj(nt=160), params, x0=x0s[2])
     np.testing.assert_array_equal(res.u[2], np.asarray(single.u))
-    np.testing.assert_allclose(res.J[2], float(single.J), rtol=1e-12)
+    # f32/TPU: batched and single solves run differently-fused reductions
+    # (and different fused kernels); controls still match exactly.
+    np.testing.assert_allclose(res.J[2], float(single.J), rtol=J_RTOL)
 
 
 def test_multistart_outer_chunk_is_exact():
