@@ -32,7 +32,12 @@ def bench(fn, *args, reps=3):
 
 
 def main():
-    nts = [int(a) for a in sys.argv[1:]] or [1024, 4096, 16384]
+    fixed_B = None
+    args = sys.argv[1:]
+    if args and args[0].startswith("--B="):
+        fixed_B = int(args[0][4:])   # long-horizon fixed-budget scenario
+        args = args[1:]
+    nts = [int(a) for a in args] or [1024, 4096, 16384]
 
     import jax
     import jax.numpy as jnp
@@ -50,7 +55,7 @@ def main():
 
     for nt in nts:
         tau = 12.0 / nt
-        B = int(2.0 / tau)
+        B = fixed_B if fixed_B is not None else int(2.0 / tau)
         grad = jnp.asarray(rng.normal(size=(nt, adm.M)), jnp.float32)
         u_old = jnp.asarray(adm.levels[rng.integers(0, adm.L, size=nt)],
                             jnp.float32)
