@@ -39,12 +39,15 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+_CHUNK_KIB = int(__import__("os").environ.get("MIOC_PALLAS_CHUNK_KIB", 2048))
+
+
 def _chunk_size(nsteps: int, Lp: int, Bp: int, S: int = 1) -> int:
-    """U-streaming chunk length: ≤ ~2 MB per double-buffer slot, floored to a
-    power of two so every kernel over the same tables (build, batched chase)
-    computes K | 64 and stays within the shared raw padded time axis
-    (``_tpad``)."""
-    K = max(1, min(64, nsteps, (2 << 20) // (S * Lp * Bp * 4)))
+    """U-streaming chunk length: ≤ ~2 MB per double-buffer slot (tunable via
+    MIOC_PALLAS_CHUNK_KIB), floored to a power of two so every kernel over
+    the same tables (build, batched chase) computes K | 64 and stays within
+    the shared raw padded time axis (``_tpad``)."""
+    K = max(1, min(64, nsteps, (_CHUNK_KIB << 10) // (S * Lp * Bp * 4)))
     return 1 << (K.bit_length() - 1)
 
 
