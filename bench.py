@@ -89,7 +89,10 @@ def _accelerator_usable(probe_timeout=240, attempts=2) -> bool:
     return False
 
 
-def dp_throughput(nt, L, M, B, levels_spec, p, beta, warm_reps=10):
+def dp_throughput(nt, L, M, B, levels_spec, p, beta, warm_reps=40):
+    # warm_reps=40: the tunnel's per-dispatch latency is noisy on ~0.1 ms
+    # kernels — 10 reps once read 2× slow (12.5 vs the kernel-true 26 G
+    # relax/s, reproduced by hand at 20 reps).
     """DP build + backtrack relaxations/s, dispatched exactly as the TRM
     dispatches them (two jitted calls sharing the tables)."""
     import jax.numpy as jnp
