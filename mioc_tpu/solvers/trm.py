@@ -73,7 +73,9 @@ class TRMParameters:
     log: bool = False        # print the iteration table
     compat_pinf: bool = False  # reproduce the reference's p=inf jump cost
     use_pallas: Optional[bool] = None  # fused DP kernel (None: auto on TPU)
-    dp_backend: Optional[str] = None   # "scan" | "pallas" | "temporal" (None: auto)
+    dp_backend: Optional[str] = None   # "scan" | "pallas" | "temporal" | "sharded"
+    mesh: Optional[object] = None      # device mesh for dp_backend="sharded"
+                                       # (default: all devices on the level axis)
     metrics_path: Optional[str] = None  # jsonl per-iteration metrics
     checkpoint_path: Optional[str] = None  # npz snapshot per outer iteration
     resume_from: Optional[str] = None   # restart from a checkpoint npz
@@ -149,6 +151,28 @@ def trm_solve(obj, par: TRMParameters = None, x0=None, seed: Optional[int] = Non
 
         def dp_sync(tables):
             tables[0].block_until_ready()
+    elif backend == "sharded":
+        # Level-axis tensor parallelism: the DP's min-plus contraction is
+        # partitioned over the mesh's ``level`` axis (SURVEY.md §2 item iii);
+        # backtracks (incl. traced-B_new halving reuse) run on the returned
+        # replicated padded tables.
+        from ..parallel.device_mesh import make_device_mesh
+        from ..parallel.shard_dp import build_tables_sharded, pad_level_axis
+
+        mesh = par.mesh or make_device_mesh(batch=1, level=len(jax.devices()))
+        D = mesh.shape["level"]
+
+        def dp_build(stage, btilde):
+            U, phi0 = build_tables_sharded(stage, btilde, jump, B, smax, mesh)
+            btilde_p = pad_level_axis(stage, btilde, jump, D, B)[1]
+            return U, phi0, btilde_p
+
+        def dp_backtrack(tables, btilde, B_new):
+            U, phi0, btilde_p = tables
+            return backtrack(U, phi0, btilde_p, levels, B_new)
+
+        def dp_sync(tables):
+            tables[1].block_until_ready()
     elif backend in ("scan", "pallas"):
         build_fn = build_tables_pallas if backend == "pallas" else build_tables
 

@@ -144,6 +144,32 @@ def test_shard_dp_pads_indivisible_level_axis():
     np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
 
 
+def test_trm_sharded_backend_end_to_end_heat():
+    """End-to-end heat (L=36) TRM solve with ``dp_backend="sharded"`` on the
+    virtual mesh is iterate-identical to the unsharded scan backend — level
+    sharding reachable from the solver entry point (VERDICT r2 item 3)."""
+    from mioc_tpu.models.heat import HeatObj, construct_mesh
+    from mioc_tpu.solvers.trm import TRMParameters, trm_solve
+
+    mesh_fem = construct_mesh(refinements=2)
+
+    def solve(backend):
+        obj = HeatObj(nt=40, mesh=mesh_fem)
+        # maxiter caps the runtime; iterate-identity (not convergence) is the
+        # claim under test, and both runs hit the same cap.
+        par = TRMParameters(beta=1e-3, p=2, delta0=2.0, maxiter=12,
+                            dp_backend=backend)
+        return trm_solve(obj, par, seed=0)
+
+    r_ref = solve("scan")
+    r_sh = solve("sharded")  # default mesh: all devices on the level axis
+    assert r_sh.converged == r_ref.converged
+    assert r_sh.iterations == r_ref.iterations
+    assert r_sh.inner_steps == r_ref.inner_steps
+    np.testing.assert_array_equal(np.asarray(r_sh.u), np.asarray(r_ref.u))
+    np.testing.assert_allclose(r_sh.J, r_ref.J, rtol=1e-12)
+
+
 def test_combined_batch_level_trm_step():
     """One jitted TRM step sharded over BOTH mesh axes (batch × level)
     matches the batch-only step."""
