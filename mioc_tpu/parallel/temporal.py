@@ -52,7 +52,12 @@ from jax import lax
 
 from ..ops.bellman import max_budget_use, stage_tables
 
-__all__ = ["temporal_tables", "temporal_backtrack", "temporal_dp_solve"]
+__all__ = [
+    "temporal_tables",
+    "temporal_tables_sharded",
+    "temporal_backtrack",
+    "temporal_dp_solve",
+]
 
 _INF = np.float64(np.inf)
 
@@ -69,6 +74,63 @@ def _shift_d(arr, shifts, smax, axis):
         cand = jnp.where(d_iota >= s, rolled, _INF)
         out = jnp.where(shifts == s, cand, out)
     return out
+
+
+def _identity_op(L: int, W: int, dtype):
+    """Banded identity operator: 0 on (l = j, d = 0), +inf elsewhere."""
+    return jnp.where(
+        (jnp.arange(L)[:, None, None] == jnp.arange(L)[None, None, :])
+        & (jnp.arange(W)[None, :, None] == 0),
+        jnp.asarray(0.0, dtype), _INF,
+    )  # (L, W, L)
+
+
+def _chunk_op(st_c, bt_c, ok_c, jump, smax: int, W: int):
+    """Compose one chunk's ``K`` per-step operators into a banded
+    ``G[l, d, j]`` (sequential fold; chunks are independent)."""
+    L = jump.shape[0]
+
+    def fold(G, xs):
+        stage_i, btilde_i, ok = xs
+        # tmp[l, d, j] = min_m jump[l, m] + G[m, d, j]  (running min over m).
+        acc = jump[:, 0, None, None] + G[0][None]
+        for m in range(1, L):
+            acc = jnp.minimum(acc, jump[:, m, None, None] + G[m][None])
+        out = _shift_d(acc, btilde_i[:, None, None], smax, axis=1)
+        out = stage_i[:, None, None] + out
+        return jnp.where(ok, out, G), None
+
+    G, _ = lax.scan(fold, _identity_op(L, W, st_c.dtype),
+                    (st_c[::-1], bt_c[::-1], ok_c[::-1]))
+    return G
+
+
+def _apply_op(G, phi, W: int, b_ax):
+    """Banded op ⊗ vector: ``out[b, l] = min_{d ≤ b, j} G[l, d, j] + phi[b − d, j]``."""
+    L = G.shape[0]
+    dtype = phi.dtype
+    phipad = jnp.concatenate([jnp.full((W - 1, L), _INF, dtype), phi])
+    idx = (W - 1) + b_ax[None, :] - jnp.arange(W)[:, None]  # (W, B+1)
+    windows = phipad[idx]  # (W, B+1, L)
+    acc = None
+    for j in range(L):
+        term = G[:, :, j][:, :, None] + windows[:, :, j][None]  # (L, W, B+1)
+        acc = term if acc is None else jnp.minimum(acc, term)
+    return acc.min(axis=1).T  # (B+1, L)
+
+
+def _recover(phi_end, st_c, bt_c, ok_c, jump, smax: int):
+    """All interior suffix tables of one chunk from its end-boundary value."""
+    def step_vec(phi, xs):
+        stage_i, btilde_i, ok = xs
+        tmp = jnp.min(jump[None, :, :] + phi[:, None, :], axis=2)  # (B+1, L)
+        new = stage_i[None, :] + _shift_d(tmp, btilde_i[None, :], smax, axis=0)
+        new = jnp.where(ok, new, phi)
+        return new, new
+
+    _, out_rev = lax.scan(step_vec, phi_end,
+                          (st_c[::-1], bt_c[::-1], ok_c[::-1]))
+    return out_rev[::-1]  # Φ at padded positions cK … (c+1)K−1
 
 
 @partial(jax.jit, static_argnames=("B", "smax", "chunk"))
@@ -110,42 +172,13 @@ def temporal_tables(stage, btilde, jump_cost, B: int, smax: int = None,
     st, bt, valid = (a.reshape((C, K) + a.shape[1:]) for a in (st, bt, valid))
 
     # -- 1. chunk operators (vmapped over chunks) -----------------------------
-    def fold(G, xs):
-        stage_i, btilde_i, ok = xs
-        # tmp[l, d, j] = min_m jump[l, m] + G[m, d, j]  (running min over m).
-        acc = jump[:, 0, None, None] + G[0][None]
-        for m in range(1, L):
-            acc = jnp.minimum(acc, jump[:, m, None, None] + G[m][None])
-        out = _shift_d(acc, btilde_i[:, None, None], smax, axis=1)
-        out = stage_i[:, None, None] + out
-        return jnp.where(ok, out, G), None
-
-    G_id = jnp.where(
-        (jnp.arange(L)[:, None, None] == jnp.arange(L)[None, None, :])
-        & (jnp.arange(W)[None, :, None] == 0),
-        jnp.asarray(0.0, dtype), _INF,
-    )  # (L, W, L)
-
-    def chunk_op(st_c, bt_c, ok_c):
-        G, _ = lax.scan(fold, G_id, (st_c[::-1], bt_c[::-1], ok_c[::-1]))
-        return G
-
-    Gs = jax.vmap(chunk_op)(st, bt, valid)  # (C, L, W, L)
+    Gs = jax.vmap(lambda s, b, o: _chunk_op(s, b, o, jump, smax, W))(
+        st, bt, valid
+    )  # (C, L, W, L)
 
     # -- 2. boundary sweep (C sequential banded op ⊗ vector) ------------------
-    def apply_op(G, phi):
-        # out[b, l] = min_{d ≤ b, j} G[l, d, j] + phi[b − d, j]
-        phipad = jnp.concatenate([jnp.full((W - 1, L), _INF, dtype), phi])
-        idx = (W - 1) + b_ax[None, :] - jnp.arange(W)[:, None]  # (W, B+1)
-        windows = phipad[idx]  # (W, B+1, L)
-        acc = None
-        for j in range(L):
-            term = G[:, :, j][:, :, None] + windows[:, :, j][None]  # (L, W, B+1)
-            acc = term if acc is None else jnp.minimum(acc, term)
-        return acc.min(axis=1).T  # (B+1, L)
-
     def bstep(phi, G):
-        new = apply_op(G, phi)
+        new = _apply_op(G, phi, W, b_ax)
         return new, new
 
     _, Psis_rev = lax.scan(bstep, phi_T, Gs[::-1])
@@ -155,19 +188,92 @@ def temporal_tables(stage, btilde, jump_cost, B: int, smax: int = None,
     Psis_next = jnp.concatenate([Psis[1:], phi_T[None]])
 
     # -- 3. interior recovery (vmapped over chunks) ---------------------------
-    def step_vec(phi, xs):
-        stage_i, btilde_i, ok = xs
-        tmp = jnp.min(jump[None, :, :] + phi[:, None, :], axis=2)  # (B+1, L)
-        new = stage_i[None, :] + _shift_d(tmp, btilde_i[None, :], smax, axis=0)
-        new = jnp.where(ok, new, phi)
-        return new, new
+    interior = jax.vmap(lambda p, s, b, o: _recover(p, s, b, o, jump, smax))(
+        Psis_next, st, bt, valid
+    )  # (C, K, B+1, L)
+    phis = jnp.concatenate(
+        [interior.reshape(C * K, B + 1, L)[pad:], phi_T[None]]
+    )
+    return phis
 
-    def recover(phi_end, st_c, bt_c, ok_c):
-        _, out_rev = lax.scan(step_vec, phi_end, (st_c[::-1], bt_c[::-1],
-                                                  ok_c[::-1]))
-        return out_rev[::-1]  # Φ at padded positions cK … (c+1)K−1
 
-    interior = jax.vmap(recover)(Psis_next, st, bt, valid)  # (C, K, B+1, L)
+def temporal_tables_sharded(stage, btilde, jump_cost, B: int, smax: int,
+                            mesh, axis: str = "batch", chunk: int = None):
+    """Time-axis (sequence-parallel) sharding of the banded temporal DP.
+
+    The chunk axis is partitioned over the mesh's ``axis`` with ``shard_map``:
+
+    * each device composes the chunk operators of the chunks it OWNS
+      (step 1 — the dominant O(ns·L²·W) work runs fully device-parallel);
+    * the boundary sweep (step 2, the O(C) sequential critical path) runs on
+      an ``all_gather`` of the small ``(C, L, W, L)`` operator band — the
+      honest serialization of temporal DP across devices;
+    * interior recovery (step 3) again runs only on each device's own chunks.
+
+    Returns the same suffix tables as :func:`temporal_tables` (the number of
+    chunks is rounded up to a multiple of the axis size with identity-step
+    padding, which does not change any value).  Consumed unchanged by
+    :func:`temporal_backtrack`, including traced-``B_new`` halving reuse.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    nt, L = stage.shape
+    if smax is None:
+        smax = B
+    smax = min(smax, B)
+    ns = nt - 1
+    D = mesh.shape[axis]
+    K = chunk or max(1, int(math.ceil(math.sqrt(ns))))
+    K = min(K, ns) if ns else 1
+    C = -(-ns // K) if ns else 0
+    C = -(-C // D) * D if C else 0  # chunks divisible by the mesh axis
+    pad = C * K - ns
+    W = min(B, K * smax) + 1
+
+    dtype = stage.dtype
+    jump = jump_cost.astype(dtype)
+    b_ax = jnp.arange(B + 1, dtype=jnp.int32)
+    phi_T = jnp.where(
+        b_ax[:, None] == btilde[-1][None, :], stage[-1][None, :], _INF
+    ).astype(dtype)  # (B+1, L)
+    if C == 0:
+        return phi_T[None]
+
+    st = jnp.concatenate([jnp.zeros((pad, L), dtype), stage[:-1]])
+    bt = jnp.concatenate([jnp.zeros((pad, L), jnp.int32), btilde[:-1]])
+    valid = jnp.concatenate([jnp.zeros((pad,), bool), jnp.ones((ns,), bool)])
+    st, bt, valid = (a.reshape((C, K) + a.shape[1:]) for a in (st, bt, valid))
+
+    def body(st_b, bt_b, ok_b, phi_T_b):
+        Cd = st_b.shape[0]  # chunks owned by this device
+        d = lax.axis_index(axis)
+        # 1. own-chunk operators (device-parallel).
+        Gs_loc = jax.vmap(lambda s, b, o: _chunk_op(s, b, o, jump, smax, W))(
+            st_b, bt_b, ok_b
+        )
+        # 2. boundary sweep over the gathered operator band (replicated).
+        Gs = lax.all_gather(Gs_loc, axis, tiled=True)  # (C, L, W, L)
+
+        def bstep(phi, G):
+            new = _apply_op(G, phi, W, b_ax)
+            return new, new
+
+        _, Psis_rev = lax.scan(bstep, phi_T_b, Gs[::-1])
+        Psis_next = jnp.concatenate([Psis_rev[::-1][1:], phi_T_b[None]])
+        # 3. recover only the chunks this device owns.
+        Psis_loc = lax.dynamic_slice_in_dim(Psis_next, d * Cd, Cd, 0)
+        return jax.vmap(lambda p, s, b, o: _recover(p, s, b, o, jump, smax))(
+            Psis_loc, st_b, bt_b, ok_b
+        )  # (Cd, K, B+1, L)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    interior = fn(st, bt, valid, phi_T)  # (C, K, B+1, L) chunk-sharded
     phis = jnp.concatenate(
         [interior.reshape(C * K, B + 1, L)[pad:], phi_T[None]]
     )

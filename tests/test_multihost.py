@@ -1,0 +1,63 @@
+"""Multi-process (DCN) execution smoke test for ``init_multihost``.
+
+Spawns two local CPU processes that form a real ``jax.distributed`` cluster
+(coordinator on 127.0.0.1) and run one batch-sharded TRM step with a
+cross-process reduction, each asserting its shard equals an unsharded local
+reference (``tests/_multihost_worker.py``).  This is the closest a single
+machine gets to multi-host TPU scale-out (SURVEY.md §5; VERDICT r2 item 5).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    with socket.socket() as s:
+        try:
+            s.bind(("127.0.0.1", 0))
+        except OSError as exc:  # pragma: no cover - constrained sandboxes
+            pytest.skip(f"cannot bind a localhost port: {exc}")
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_trm_step():
+    port = _free_port()
+    env = {
+        **os.environ,
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        # one CPU device per process — the distributed cluster provides the
+        # multi-device view, not the local XLA flag
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_HERE, "_multihost_worker.py"),
+             str(pid), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=_HERE,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"multihost worker {pid}/2 OK" in out

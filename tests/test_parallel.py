@@ -265,6 +265,64 @@ def test_multistart_solve_picks_best():
     assert all(r.converged for r in results)
 
 
+def test_temporal_sharded_chunk_axis_matches_unsharded():
+    """shard_map'd temporal DP (chunk operators computed on their owning
+    devices, boundary sweep as the sequential cross-device part) equals the
+    unsharded banded form exactly — including when the chunk count must be
+    rounded up to the mesh-axis size (VERDICT r2 item 4)."""
+    from mioc_tpu.parallel.temporal import (
+        temporal_backtrack,
+        temporal_tables,
+        temporal_tables_sharded,
+    )
+
+    adm, grad, u_old, jump, levels = _problem(
+        bounded_sum_levels([[0, 1]] * 3, 1, 1), nt=37, B=9, p=1, beta=0.1
+    )
+    smax = max_budget_use(adm.levels)
+    stage, btilde = stage_tables(grad, u_old, levels, 0.01)
+    mesh = make_device_mesh(batch=jax.device_count(), level=1)
+    ref = temporal_tables(stage, btilde, jump, 9, smax)
+    sh = temporal_tables_sharded(stage, btilde, jump, 9, smax, mesh)
+    fin = np.isfinite(np.asarray(ref))
+    np.testing.assert_array_equal(fin, np.isfinite(np.asarray(sh)))
+    np.testing.assert_allclose(np.asarray(sh)[fin], np.asarray(ref)[fin],
+                               rtol=1e-12 if F64 else 1e-6)
+    for Bq in (9, 4):  # incl. halving reuse on the sharded tables
+        _, i_r = temporal_backtrack(ref, btilde, jump, levels, jnp.int32(Bq))
+        _, i_s = temporal_backtrack(sh, btilde, jump, levels, jnp.int32(Bq))
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
+
+
+@pytest.mark.slow
+def test_temporal_sharded_preset_scale():
+    """Time-sharded temporal DP at the fishing long-horizon shape where the
+    banded form wins on a single chip (nt=65536, B=170 — BASELINE_SELF.md):
+    sharded tables are exactly equal and the backtracked path is identical."""
+    from mioc_tpu.parallel.temporal import (
+        temporal_backtrack,
+        temporal_tables,
+        temporal_tables_sharded,
+    )
+
+    nt, B = 65536, 170
+    adm, grad, u_old, jump, levels = _problem(
+        bounded_sum_levels([[0, 1]] * 3, 1, 1), nt=nt, B=B, p=np.inf, beta=1e-4
+    )
+    smax = max_budget_use(adm.levels)
+    stage, btilde = stage_tables(grad, u_old, levels, 12.0 / nt)
+    mesh = make_device_mesh(batch=jax.device_count(), level=1)
+    ref = temporal_tables(stage, btilde, jump, B, smax)
+    sh = temporal_tables_sharded(stage, btilde, jump, B, smax, mesh)
+    fin = np.isfinite(np.asarray(ref))
+    np.testing.assert_array_equal(fin, np.isfinite(np.asarray(sh)))
+    np.testing.assert_allclose(np.asarray(sh)[fin], np.asarray(ref)[fin],
+                               rtol=1e-12 if F64 else 1e-5)
+    _, i_r = temporal_backtrack(ref, btilde, jump, levels, jnp.int32(B))
+    _, i_s = temporal_backtrack(sh, btilde, jump, levels, jnp.int32(B))
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
+
+
 def test_temporal_dp_with_sharded_time_axis():
     """The associative-scan DP compiles and executes with the TIME axis of its
     inputs sharded across devices (sequence/context parallelism analogue)."""
