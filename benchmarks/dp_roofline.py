@@ -1,0 +1,114 @@
+"""Roofline analysis of the fused DP build kernel (VERDICT r2 item 7).
+
+The kernel's per-step work is pure VPU elementwise math on an ``(Lp, Bp)``
+value plane plus one strided HBM DMA per K-step chunk of the ``U`` argmin
+table, so the two candidate ceilings are
+
+  * VPU:  elementwise f32 ops/s.  Per backward step the kernel executes
+          (L−1) successor iterations × ~4 plane ops (add, compare, 2 selects)
+          + (smax+1) shift iterations × ~5 plane ops (2 rolls, mask, 2
+          selects) on ``Lp·Bp`` f32/i32 elements;
+  * HBM:  the U table write, ``(nt−1)·Lp·Bp`` int32 per build (42 MB at the
+          heat shape), plus the ~nt·Lp stage/btilde reads (negligible).
+
+Dispatch latency through the axon tunnel (~0.1-0.2 ms) swamps small builds,
+so per-build time is measured INSIDE one jit: a ``lax.scan`` of ``R`` builds
+with per-iteration-varying stage costs (defeats CSE), consuming only phi0
+(U is still written per build — the DMA stays in the measurement).
+
+Prints per-shape: measured per-build time, achieved relax/s and elem-ops/s,
+the VPU- and HBM-bound times under the stated machine model, and the
+achieved fraction of the binding roofline.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mioc_tpu.ops.bellman import max_budget_use, stage_tables
+from mioc_tpu.ops.bellman_pallas import (
+    _round_up,
+    build_tables_pallas,
+    pallas_supported,
+)
+from mioc_tpu.ops.levels import jump_cost_table, product_levels
+
+# Machine model (TPU v5e, one core): VPU (8 sublanes × 128 lanes × 4 ALUs
+# @ 940 MHz ≈ 3.85e12 f32 elem-ops/s), HBM ~819 GB/s.  Stated, not vendored:
+# the script reports achieved fractions against BOTH so a different chip just
+# rescales the conclusion.
+VPU_OPS = 8 * 128 * 4 * 0.94e9
+HBM_BPS = 819e9
+
+SHAPES = [
+    ("conv  (nt=2048, L=5,  B=128)", dict(nt=2048, spec=[[-2, -1, 0, 1, 2]],
+                                          p=1, beta=1e-4, B=128)),
+    ("heat  (nt=1024, L=36, B=204)", dict(nt=1024, spec=[list(range(6))] * 2,
+                                          p=2, beta=1e-3, B=204)),
+]
+
+
+def analyze(name, nt, spec, p, beta, B, reps=30):
+    adm = product_levels(spec)
+    L, M = adm.L, adm.levels.shape[1]
+    smax = max_budget_use(adm.levels)
+    Lp, Bp = _round_up(max(L, 8), 8), _round_up(B + 1, 128)
+
+    rng = np.random.default_rng(0)
+    grad = jnp.asarray(rng.normal(size=(nt, M)), jnp.float32)
+    u_old = jnp.asarray(adm.levels[rng.integers(0, L, size=nt)], jnp.float32)
+    levels = jnp.asarray(adm.levels, jnp.float32)
+    jump = jnp.asarray(jump_cost_table(adm.levels, p=p, beta=beta), jnp.float32)
+    stage, btilde = stage_tables(grad, u_old, levels, 2.0 / nt)
+
+    def many(stage, btilde, jump):
+        def body(acc, k):
+            # Vary the stage costs per iteration so XLA cannot CSE builds.
+            U, phi0 = build_tables_pallas(
+                stage + (k.astype(jnp.float32) * 1e-6), btilde, jump, B, smax
+            )
+            fin = jnp.isfinite(phi0)
+            return acc + jnp.sum(jnp.where(fin, phi0, 0.0)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
+        return acc
+
+    fn = jax.jit(many)
+    fn(stage, btilde, jump).block_until_ready()  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(stage, btilde, jump).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    per_build = best / reps
+
+    nsteps = nt - 1
+    plane = Lp * Bp
+    ops = nsteps * plane * ((L - 1) * 4 + (smax + 1) * 5 + 3)
+    relax = nt * L * L * B
+    u_bytes = nsteps * plane * 4
+
+    t_vpu = ops / VPU_OPS
+    t_hbm = u_bytes / HBM_BPS
+    bound = max(t_vpu, t_hbm)
+    which = "VPU" if t_vpu >= t_hbm else "HBM"
+    print(f"{name}")
+    print(f"  Lp={Lp} Bp={Bp} smax={smax}  per-build {per_build*1e6:8.1f} us "
+          f"({relax/per_build/1e9:7.1f} G relax/s, {ops/per_build/1e12:.2f} T elem-ops/s)")
+    print(f"  model bounds: VPU {t_vpu*1e6:7.1f} us | HBM(U) {t_hbm*1e6:6.1f} us"
+          f"  -> {which}-bound roofline {bound*1e6:7.1f} us, achieved "
+          f"{bound/per_build*100:5.1f}% of model SoL")
+    return per_build
+
+
+def main():
+    print(f"platform: {jax.devices()[0].platform} "
+          f"(pallas={'yes' if pallas_supported() else 'no'})")
+    for name, cfg in SHAPES:
+        analyze(name, **cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..objectives.ode import ODEObjective
+from ..objectives.ode import ODEObjective, const_dot
 from ..ops.levels import bounded_sum_levels
 
 __all__ = ["DTMObj"]
@@ -37,10 +37,11 @@ class DTMObj(ODEObjective):
         )
         return y, u, int(rng.integers(self.nt))
 
-    # Dynamics (example_doubletank.jl:48-67).
+    # Dynamics (example_doubletank.jl:48-67).  const_dot keeps the constant
+    # inflow-coefficient coupling out of the scan body (see its docstring).
     def F(self, y, u, i):
         s1 = jnp.sqrt(y[0])
-        return jnp.stack([self.c @ u - s1, s1 - jnp.sqrt(y[1])])
+        return jnp.stack([const_dot(u, self.c) - s1, s1 - jnp.sqrt(y[1])])
 
     def Fy(self, y, u, i):
         i1 = -1.0 / (2.0 * jnp.sqrt(y[0]))

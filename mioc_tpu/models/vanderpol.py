@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..objectives.ode import ODEObjective
+from ..objectives.ode import ODEObjective, const_dot
 from ..ops.levels import bounded_sum_levels
 
 __all__ = ["VPOObj"]
@@ -27,13 +27,14 @@ class VPOObj(ODEObjective):
             T0=0.0, T1=20.0, nt=nt, state0=state0, V=V, admissible=adm, dtype=dtype
         )
 
-    # Dynamics (example_vanderpol.jl:48-66).
+    # Dynamics (example_vanderpol.jl:48-66).  const_dot keeps the constant
+    # mode-coefficient coupling out of the scan body (see its docstring).
     def F(self, y, u, i):
-        cu = self.c @ u
+        cu = const_dot(u, self.c)
         return jnp.stack([y[1], (1.0 - y[0] ** 2) * y[1] * cu - y[0]])
 
     def Fy(self, y, u, i):
-        cu = self.c @ u
+        cu = const_dot(u, self.c)
         return jnp.array(
             [[0.0, 1.0], [-2.0 * y[0] * y[1] * cu - 1.0, (1.0 - y[0] ** 2) * cu]]
         )

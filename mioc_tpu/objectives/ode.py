@@ -36,7 +36,23 @@ from jax import lax
 
 from .base import LazyObjective
 
-__all__ = ["ODEObjective"]
+__all__ = ["ODEObjective", "const_dot"]
+
+
+def const_dot(u, v):
+    """Dot of a traced vector ``u`` with a small CONSTANT vector ``v``,
+    unrolled into Python-float scalar immediates.
+
+    Use this (instead of ``u @ v``) for model-constant couplings inside the
+    per-step ``F``/``Fy`` dynamics: a constant f32[L] buffer in a scan body
+    is VMEM-pinned by XLA in scan-only modules but demoted to HBM when the
+    same jitted module also contains Pallas custom calls (the fused device
+    TRM), costing ~0.34 ms per nt=1024 sweep — scalar immediates fold into
+    the fused elementwise ops and leave nothing to place (measured 1.60× on
+    ×32 fishing multistart, ``benchmarks/multistart_pinning.py``).
+    """
+    v = np.asarray(v)
+    return sum(float(c) * u[m] for m, c in enumerate(v.ravel()))
 
 # Compiled sweeps are cached per (class, parameter signature): constructing a
 # second instance with the same configuration reuses the jitted forward and
