@@ -63,6 +63,13 @@ def main(argv=None):
     ap.add_argument("--device-loop", action="store_true",
                     help="run the whole TRM inside one jit (no per-step host "
                          "sync; batches multistart with vmap)")
+    ap.add_argument("--dp-backend", default=None,
+                    choices=["scan", "pallas", "temporal", "sharded"],
+                    help="DP subproblem engine for the host loop (default: "
+                         "auto — fused Pallas kernels on TPU, XLA scan "
+                         "elsewhere; 'sharded' partitions the contraction "
+                         "over the device mesh's level axis, 'temporal' "
+                         "parallelizes the time axis)")
     ap.add_argument("--device-chunk", type=int, default=None,
                     help="segment the device loop into dispatches of N outer "
                          "iterations (bounds single-dispatch runtime for "
@@ -82,6 +89,7 @@ def main(argv=None):
         log=not args.no_log,
         metrics_path=args.metrics,
         checkpoint_path=args.checkpoint,
+        dp_backend=args.dp_backend,
     )
 
     t0 = time.time()
