@@ -36,6 +36,12 @@ def test_two_process_distributed_trm_step():
         # one CPU device per process — the distributed cluster provides the
         # multi-device view, not the local XLA flag
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        # workers run with cwd=tests/ — make the package importable even when
+        # the repo is not pip-installed in the current environment
+        "PYTHONPATH": os.pathsep.join(
+            [os.path.dirname(_HERE)] +
+            ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+        ),
     }
     procs = [
         subprocess.Popen(
