@@ -78,9 +78,14 @@ def analyze(name, nt, spec, p, beta, B, reps=30):
     fn = jax.jit(many)
     fn(stage, btilde, jump).block_until_ready()  # compile + warm
     best = float("inf")
-    for _ in range(3):
+    for i in range(1, 4):
+        # Perturb the input per timing rep: identical (executable, inputs)
+        # dispatches were observed to return in ~1 us through the axon
+        # runtime (result caching?), 100x faster than a single kernel step
+        # could possibly run — every timed dispatch must be unique.
+        s = stage + jnp.float32(i * 1e-5)
         t0 = time.perf_counter()
-        fn(stage, btilde, jump).block_until_ready()
+        fn(s, btilde, jump).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     per_build = best / reps
 

@@ -9,7 +9,13 @@ _dp_kernel_batched); this script measures both paths at the same workload
 and checks the results bit-match.
 
 Run on the TPU (one process at a time, CLAUDE.md):
-    timeout 590 python benchmarks/multistart_tpu.py [S] [nt]
+    timeout 590 python benchmarks/multistart_tpu.py [S] [nt] [problem] [outer_chunk]
+
+The optional ``problem`` (default fishing) selects any registered model —
+``heat`` measures the L=36/Lp=40 shape where the batched kernels' VMEM
+budget actually bites (VERDICT r2 item 6).  ``outer_chunk`` (int) segments
+each batched solve so a slow PDE batch stays under the runtime's execution
+deadline.
 """
 
 import sys
@@ -23,12 +29,14 @@ from mioc_tpu.solvers.trm_device import multistart_solve_device
 from mioc_tpu.utils.init import rand_func
 
 
-def measure(obj, par, x0s, use_pallas, reps=3):
-    res = multistart_solve_device(obj, par, x0s, use_pallas=use_pallas)  # compile
+def measure(obj, par, x0s, use_pallas, reps=3, outer_chunk=None):
+    res = multistart_solve_device(obj, par, x0s, use_pallas=use_pallas,
+                                  outer_chunk=outer_chunk)  # compile
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = multistart_solve_device(obj, par, x0s, use_pallas=use_pallas)
+        res = multistart_solve_device(obj, par, x0s, use_pallas=use_pallas,
+                                      outer_chunk=outer_chunk)
         best = min(best, time.perf_counter() - t0)
     return best, res
 
@@ -36,21 +44,24 @@ def measure(obj, par, x0s, use_pallas, reps=3):
 def main():
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     nt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    problem = sys.argv[3] if len(sys.argv) > 3 else "fishing"
+    outer_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     import jax
 
-    print(f"platform: {jax.devices()[0].platform}, S={S}, nt={nt}")
-    spec = registry.get("fishing")
+    print(f"platform: {jax.devices()[0].platform}, S={S}, nt={nt}, "
+          f"problem={problem}, outer_chunk={outer_chunk}")
+    spec = registry.get(problem)
     obj = spec.factory(nt=nt)
     par = TRMParameters(**spec.preset)
     x0s = np.stack([np.asarray(rand_func(obj, seed=s)) for s in range(S)])
 
-    t_scan, r_scan = measure(obj, par, x0s, use_pallas=False)
+    t_scan, r_scan = measure(obj, par, x0s, use_pallas=False, outer_chunk=outer_chunk)
     print(f"scan DP   : {t_scan:.3f} s total, {1e3 * t_scan / S:.1f} ms/solve, "
           f"{int(np.sum(r_scan.converged))}/{S} converged, "
           f"best J={float(np.min(r_scan.J)):.6f}")
 
-    t_pal, r_pal = measure(obj, par, x0s, use_pallas=True)
+    t_pal, r_pal = measure(obj, par, x0s, use_pallas=True, outer_chunk=outer_chunk)
     print(f"pallas DP : {t_pal:.3f} s total, {1e3 * t_pal / S:.1f} ms/solve, "
           f"{int(np.sum(r_pal.converged))}/{S} converged, "
           f"best J={float(np.min(r_pal.J)):.6f}")
