@@ -94,11 +94,15 @@ def _accelerator_usable(timeouts=(240, 360), idle_between=90) -> bool:
 
 
 def dp_throughput(nt, L, M, B, levels_spec, p, beta, warm_reps=40):
-    # warm_reps=40: the tunnel's per-dispatch latency is noisy on ~0.1 ms
-    # kernels — 10 reps once read 2× slow (12.5 vs the kernel-true 26 G
-    # relax/s, reproduced by hand at 20 reps).
     """DP build + backtrack relaxations/s, dispatched exactly as the TRM
-    dispatches them (two jitted calls sharing the tables)."""
+    dispatches them (two jitted calls sharing the tables).
+
+    Every timed dispatch gets a UNIQUE stage table: the axon runtime was
+    observed returning identical (executable, inputs) dispatches from a
+    result cache in ~dispatch-latency (0.17-0.19 ms), which inflated the
+    round-2/3 best-of-N numbers by 2.4×/5.5× at the conv/heat shapes
+    (device-side xplane self-time: 403.7 µs / 1043.8 µs per conv/heat
+    build — benchmarks/dp_roofline.py)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -130,15 +134,19 @@ def dp_throughput(nt, L, M, B, levels_spec, p, beta, warm_reps=40):
     U, phi0 = build_fn(stage, btilde, jump, B, smax)
     bt_fn(U, phi0, btilde, levels, jnp.int32(B))[1].block_until_ready()  # warm
 
-    def once():
-        U, phi0 = build_fn(stage, btilde, jump, B, smax)
+    # Unique stage per timed rep (device-resident, built before timing).
+    stages = [(stage + jnp.float32((i + 1) * 1e-6)).block_until_ready()
+              for i in range(warm_reps)]
+
+    def once(s):
+        U, phi0 = build_fn(s, btilde, jump, B, smax)
         u, idx = bt_fn(U, phi0, btilde, levels, jnp.int32(B))
         u.block_until_ready()
 
     best = float("inf")
-    for _ in range(warm_reps):
+    for s in stages:
         t0 = time.perf_counter()
-        once()
+        once(s)
         best = min(best, time.perf_counter() - t0)
     return nt * L * L * B / best
 

@@ -11,17 +11,23 @@ table, so the two candidate ceilings are
   * HBM:  the U table write, ``(nt−1)·Lp·Bp`` int32 per build (42 MB at the
           heat shape), plus the ~nt·Lp stage/btilde reads (negligible).
 
-Dispatch latency through the axon tunnel (~0.1-0.2 ms) swamps small builds,
-so per-build time is measured INSIDE one jit: a ``lax.scan`` of ``R`` builds
-with per-iteration-varying stage costs (defeats CSE), consuming only phi0
-(U is still written per build — the DMA stays in the measurement).
+Measurement is DEVICE-SIDE: wall-clock through the axon tunnel is useless at
+this granularity (dispatch latency ~0.1-30 ms and wildly bimodal — measured
+spread 72 us … 3.7 ms for the *same* executable), so the script runs a
+``lax.scan`` of ``R`` builds with per-iteration-varying stage costs (defeats
+CSE) under ``jax.profiler.trace`` and reads the fused kernel's device
+self-time out of the xplane op stats, dividing by ``R``.
 
-Prints per-shape: measured per-build time, achieved relax/s and elem-ops/s,
-the VPU- and HBM-bound times under the stated machine model, and the
-achieved fraction of the binding roofline.
+Prints per-shape: measured per-build device time, achieved relax/s and
+elem-ops/s, the VPU- and HBM-bound times under the stated machine model, and
+the achieved fraction of the binding roofline.
+
+Run on the TPU (one process at a time, CLAUDE.md):
+    timeout 590 python benchmarks/dp_roofline.py
 """
 
-import time
+import glob
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +56,53 @@ SHAPES = [
 ]
 
 
-def analyze(name, nt, spec, p, beta, B, reps=30):
+def kernel_self_time_s(logdir):
+    """Device self-time (s) of the fused DP kernel inside an xplane trace.
+
+    Parses the XSpace proto directly (xplane_ops.py pattern — the
+    tensorboard-plugin converter is broken in this image).  Returns
+    ``(kernel_s, device_total_s)``; picks the op-level line (most events)
+    on the TPU device plane and sums event durations whose metadata name
+    mentions the DP kernel / a custom call, falling back to the whole line.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    xs = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        ev_names = dict(plane.event_metadata.items())
+        lines = [ln for ln in plane.lines if ln.events]
+        if not lines:
+            continue
+        opline = max(lines, key=lambda ln: len(ln.events))
+        tot = kern = 0.0
+        unmatched = {}
+        for ev in opline.events:
+            md = ev_names.get(ev.metadata_id)
+            name = md.name if md else ""
+            dur = ev.duration_ps / 1e12
+            tot += dur
+            if ("dp_kernel" in name or "custom-call" in name
+                    or "custom_call" in name):
+                kern += dur
+            else:
+                unmatched[name] = unmatched.get(name, 0.0) + dur
+        if kern == 0.0:
+            print("  (no custom-call event matched — using TOTAL device "
+                  "time; top events below)")
+            for name, s in sorted(unmatched.items(), key=lambda kv: -kv[1])[:5]:
+                print(f"    {s*1e3:9.3f} ms  {name[:80]}")
+            kern = tot
+        return kern, tot
+    raise RuntimeError("no TPU device plane in trace")
+
+
+def analyze(name, nt, spec, p, beta, B, reps=64):
     adm = product_levels(spec)
     L, M = adm.L, adm.levels.shape[1]
     smax = max_budget_use(adm.levels)
@@ -77,17 +129,16 @@ def analyze(name, nt, spec, p, beta, B, reps=30):
 
     fn = jax.jit(many)
     fn(stage, btilde, jump).block_until_ready()  # compile + warm
-    best = float("inf")
-    for i in range(1, 4):
-        # Perturb the input per timing rep: identical (executable, inputs)
-        # dispatches were observed to return in ~1 us through the axon
-        # runtime (result caching?), 100x faster than a single kernel step
-        # could possibly run — every timed dispatch must be unique.
-        s = stage + jnp.float32(i * 1e-5)
-        t0 = time.perf_counter()
-        fn(s, btilde, jump).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    per_build = best / reps
+    logdir = f"/tmp/mioc_roofline_{L}_{B}"
+    with jax.profiler.trace(logdir):
+        fn(stage + jnp.float32(1e-5), btilde, jump).block_until_ready()
+
+    try:
+        kern_s, total_s = kernel_self_time_s(logdir)
+    except Exception as e:  # trace parse failure: report and bail out
+        print(f"{name}: trace parse failed: {e}")
+        return None
+    per_build = kern_s / reps
 
     nsteps = nt - 1
     plane = Lp * Bp
@@ -101,7 +152,10 @@ def analyze(name, nt, spec, p, beta, B, reps=30):
     which = "VPU" if t_vpu >= t_hbm else "HBM"
     print(f"{name}")
     print(f"  Lp={Lp} Bp={Bp} smax={smax}  per-build {per_build*1e6:8.1f} us "
-          f"({relax/per_build/1e9:7.1f} G relax/s, {ops/per_build/1e12:.2f} T elem-ops/s)")
+          f"device self-time (kernel {kern_s*1e3:.1f} / device total "
+          f"{total_s*1e3:.1f} ms over {reps} builds)")
+    print(f"  achieved {relax/per_build/1e9:7.1f} G relax/s, "
+          f"{ops/per_build/1e12:.2f} T elem-ops/s")
     print(f"  model bounds: VPU {t_vpu*1e6:7.1f} us | HBM(U) {t_hbm*1e6:6.1f} us"
           f"  -> {which}-bound roofline {bound*1e6:7.1f} us, achieved "
           f"{bound/per_build*100:5.1f}% of model SoL")
