@@ -35,8 +35,8 @@ import numpy as np
 
 from mioc_tpu.ops.bellman import max_budget_use, stage_tables
 from mioc_tpu.ops.bellman_pallas import (
+    _build_tables_impl,
     _round_up,
-    build_tables_pallas,
     pallas_supported,
 )
 from mioc_tpu.ops.levels import jump_cost_table, product_levels
@@ -56,14 +56,13 @@ SHAPES = [
 ]
 
 
-def kernel_self_time_s(logdir):
-    """Device self-time (s) of the fused DP kernel inside an xplane trace.
+def device_op_times(logdir):
+    """Per-op device self-times (s) from an xplane trace.
 
     Parses the XSpace proto directly (xplane_ops.py pattern — the
     tensorboard-plugin converter is broken in this image).  Returns
-    ``(kernel_s, device_total_s)``; picks the op-level line (most events)
-    on the TPU device plane and sums event durations whose metadata name
-    mentions the DP kernel / a custom call, falling back to the whole line.
+    ``(by_name: {op_name: (seconds, count)}, device_total_s)`` from the
+    op-level line (the line with most events) of the TPU device plane.
     """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -80,29 +79,25 @@ def kernel_self_time_s(logdir):
         if not lines:
             continue
         opline = max(lines, key=lambda ln: len(ln.events))
-        tot = kern = 0.0
-        unmatched = {}
+        by_name, tot = {}, 0.0
         for ev in opline.events:
             md = ev_names.get(ev.metadata_id)
             name = md.name if md else ""
             dur = ev.duration_ps / 1e12
             tot += dur
-            if ("dp_kernel" in name or "custom-call" in name
-                    or "custom_call" in name):
-                kern += dur
-            else:
-                unmatched[name] = unmatched.get(name, 0.0) + dur
-        if kern == 0.0:
-            print("  (no custom-call event matched — using TOTAL device "
-                  "time; top events below)")
-            for name, s in sorted(unmatched.items(), key=lambda kv: -kv[1])[:5]:
-                print(f"    {s*1e3:9.3f} ms  {name[:80]}")
-            kern = tot
-        return kern, tot
+            s_, n_ = by_name.get(name, (0.0, 0))
+            by_name[name] = (s_ + dur, n_ + 1)
+        return by_name, tot
     raise RuntimeError("no TPU device plane in trace")
 
 
-def analyze(name, nt, spec, p, beta, B, reps=64):
+def matched_time(by_name, *needles):
+    """Total seconds of ops whose name contains any needle."""
+    return sum(s for name, (s, _) in by_name.items()
+               if any(nd in name for nd in needles))
+
+
+def analyze(name, nt, spec, p, beta, B, reps=64, unroll=4):
     adm = product_levels(spec)
     L, M = adm.L, adm.levels.shape[1]
     smax = max_budget_use(adm.levels)
@@ -115,30 +110,42 @@ def analyze(name, nt, spec, p, beta, B, reps=64):
     jump = jnp.asarray(jump_cost_table(adm.levels, p=p, beta=beta), jnp.float32)
     stage, btilde = stage_tables(grad, u_old, levels, 2.0 / nt)
 
+    from mioc_tpu.ops.backtrack_pallas import backtrack_pallas
+
+    levels_f = jnp.asarray(adm.levels, jnp.float32)
+
     def many(stage, btilde, jump):
         def body(acc, k):
             # Vary the stage costs per iteration so XLA cannot CSE builds.
-            U, phi0 = build_tables_pallas(
-                stage + (k.astype(jnp.float32) * 1e-6), btilde, jump, B, smax
+            U, phi0 = _build_tables_impl(
+                stage + (k.astype(jnp.float32) * 1e-6), btilde, jump, B,
+                min(smax, B), unroll=unroll,
             )
+            u, idx = backtrack_pallas(U, phi0, btilde, levels_f, jnp.int32(B))
             fin = jnp.isfinite(phi0)
-            return acc + jnp.sum(jnp.where(fin, phi0, 0.0)), None
+            return acc + jnp.sum(jnp.where(fin, phi0, 0.0)) + jnp.sum(u), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
         return acc
 
     fn = jax.jit(many)
-    fn(stage, btilde, jump).block_until_ready()  # compile + warm
-    logdir = f"/tmp/mioc_roofline_{L}_{B}"
+    float(fn(stage, btilde, jump))  # compile + warm (readback = completion)
+    logdir = f"/tmp/mioc_roofline_{L}_{B}_u{unroll}"
     with jax.profiler.trace(logdir):
-        fn(stage + jnp.float32(1e-5), btilde, jump).block_until_ready()
+        float(fn(stage + jnp.float32(1e-5), btilde, jump))
 
     try:
-        kern_s, total_s = kernel_self_time_s(logdir)
+        by_name, total_s = device_op_times(logdir)
     except Exception as e:  # trace parse failure: report and bail out
         print(f"{name}: trace parse failed: {e}")
         return None
+    build_s = matched_time(by_name, "build_tables")
+    chase_s = matched_time(by_name, "backtrack")
+    if build_s == 0.0:  # fall back: any custom call
+        build_s = matched_time(by_name, "custom-call", "custom_call")
+    kern_s = build_s
     per_build = kern_s / reps
+    per_chase = chase_s / reps
 
     nsteps = nt - 1
     plane = Lp * Bp
@@ -150,10 +157,10 @@ def analyze(name, nt, spec, p, beta, B, reps=64):
     t_hbm = u_bytes / HBM_BPS
     bound = max(t_vpu, t_hbm)
     which = "VPU" if t_vpu >= t_hbm else "HBM"
-    print(f"{name}")
-    print(f"  Lp={Lp} Bp={Bp} smax={smax}  per-build {per_build*1e6:8.1f} us "
-          f"device self-time (kernel {kern_s*1e3:.1f} / device total "
-          f"{total_s*1e3:.1f} ms over {reps} builds)")
+    print(f"{name}  [unroll={unroll}]")
+    print(f"  Lp={Lp} Bp={Bp} smax={smax}  per-build {per_build*1e6:8.1f} us, "
+          f"per-chase {per_chase*1e6:8.1f} us "
+          f"(device total {total_s*1e3:.1f} ms over {reps} pairs)")
     print(f"  achieved {relax/per_build/1e9:7.1f} G relax/s, "
           f"{ops/per_build/1e12:.2f} T elem-ops/s")
     print(f"  model bounds: VPU {t_vpu*1e6:7.1f} us | HBM(U) {t_hbm*1e6:6.1f} us"
@@ -163,10 +170,14 @@ def analyze(name, nt, spec, p, beta, B, reps=64):
 
 
 def main():
+    import sys
+
+    unrolls = [int(u) for u in sys.argv[1:]] or [4]
     print(f"platform: {jax.devices()[0].platform} "
           f"(pallas={'yes' if pallas_supported() else 'no'})")
     for name, cfg in SHAPES:
-        analyze(name, **cfg)
+        for u in unrolls:
+            analyze(name, unroll=u, **cfg)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,7 @@ def _bt_kernel(
     nchunks = -(-nsteps // K)
     b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
     l_sub = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
     t128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     # Seed argmin, reference order: linear index l*Bp + b, b fastest within l.
@@ -89,10 +90,14 @@ def _bt_kernel(
                 U_hbm_ref.at[pl.ds(chunk * K, K)], u_buf_ref.at[slot], sem.at[slot]
             ).wait()
 
-        # Dynamic lane extraction is not allowed on TPU — select the (l, b)
-        # entry with a masked vector reduction instead.
-        plane = u_buf_ref[slot, row]  # (Lp, Bp)
-        l_next = jnp.max(jnp.where((l_sub == l) & (b_lane == b), plane, 0))
+        # Dynamic LANE extraction is not allowed on TPU, but dynamic SUBLANE
+        # slicing is (probed on-chip, round 3): pull row l of the plane with
+        # a dynamic slice, then select lane b with a (1, Bp) masked reduce —
+        # ~5 small vector ops vs the full-plane (Lp, Bp) masked reduction
+        # this replaced (the chase measured 507 µs at conv nt=2048, MORE
+        # than the 406 µs DP build it follows).
+        row_vec = u_buf_ref[slot, row, pl.ds(l, 1)]  # (1, Bp)
+        l_next = jnp.max(jnp.where(lane_row == b, row_vec, 0))
         bt_row = btilde_ref[pl.ds(k, 1), :]  # (1, L) — btilde may be unpadded
         bt_iota = jax.lax.broadcasted_iota(jnp.int32, bt_row.shape, 1)
         bt_l = jnp.max(jnp.where(bt_iota == l, bt_row, 0))

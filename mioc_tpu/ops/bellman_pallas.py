@@ -86,7 +86,6 @@ def _dp_kernel(
     jump_ref,     # (Lp, Lp) f32, VMEM
     U_hbm_ref,    # out 0: (nchunks*K, Lp, Bp) i32, HBM (streamed per chunk)
     phi0_ref,     # out 1: (Lp, Bp) f32, VMEM
-    phi_ref,      # scratch: (Lp, Bp) f32
     u_buf_ref,    # scratch: (2, K, Lp, Bp) i32 — double-buffered chunk
     send_sem,     # DMA semaphores (2,)
     *,
@@ -94,8 +93,9 @@ def _dp_kernel(
     L: int,
     smax: int,
     K: int,
+    unroll: int = 1,
 ):
-    Lp, Bp = phi_ref.shape
+    Lp, Bp = phi0_ref.shape
     b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
     nsteps = nt - 1
 
@@ -105,15 +105,18 @@ def _dp_kernel(
     phi0_out = phi0_ref
 
     # Terminal layer i = nt-1: Φ[l, b] = stage if b == b̃ else +inf.
-    phi_ref[:] = jnp.where(
+    # Φ is a LOOP CARRY (vregs), not a VMEM scratch: the per-step work is a
+    # short dependency chain on a tiny plane (conv: (8, 256) = 2 vregs), so
+    # the kernel is latency-bound — a VMEM store+load round trip per step
+    # sits squarely on that chain.
+    phi_init = jnp.where(
         b_lane == btilde_at(nt - 1)[:, None],
         stage_at(nt - 1)[:, None],
         _INF,
     )
 
-    def step(i_rev, _):
+    def step(i_rev, phi):
         i = nsteps - 1 - i_rev  # sweep i = nt-2 … 0
-        phi = phi_ref[:]
 
         # Tropical contraction with running argmin over successor j (< L).
         val = phi[0, :][None, :] + jump_ref[:, 0][:, None]
@@ -135,7 +138,7 @@ def _dp_kernel(
             new_phi = jnp.where(sel, v, new_phi)
             new_arg = jnp.where(sel, a, new_arg)
 
-        phi_ref[:] = stage_at(i)[:, None] + new_phi
+        phi_next = stage_at(i)[:, None] + new_phi
 
         # Chunked streaming: per-step DMA issue costs ~15 µs, dwarfing the
         # ~0.1 µs of compute per step, so K argmin planes are buffered in
@@ -164,9 +167,29 @@ def _dp_kernel(
                 send_sem.at[slot],
             ).start()
 
-        return ()
+        return phi_next
 
-    jax.lax.fori_loop(0, nsteps, step, (), unroll=False)
+    # Manual unrolling (same pattern as _dp_kernel_batched): Mosaic supports
+    # only unroll=1 or full unroll in lax loops, so process `unroll`
+    # consecutive steps per loop iteration (remainder first).  At small Lp
+    # (conv: (8, 256) planes = 2 vregs/op) the per-iteration loop control +
+    # chunk bookkeeping dominates the ~90 useful vreg-ops per step — the
+    # device-side roofline measured 11.9% of the VPU bound at unroll=1
+    # (BASELINE_SELF.md, round 3).
+    U_ = max(1, min(unroll, nsteps))
+    rem = nsteps % U_
+
+    def super_step(s, phi):
+        base = rem + s * U_
+        for t in range(U_):
+            phi = step(base + t, phi)
+        return phi
+
+    phi = phi_init
+    if rem:
+        phi = jax.lax.fori_loop(0, rem, step, phi, unroll=False)
+    phi = jax.lax.fori_loop(0, nsteps // U_, super_step, phi, unroll=False)
+    phi0_out[:] = phi
 
     # Drain the last two outstanding chunk DMAs (chunks 0 and 1).
     for chunk in range(min(2, (nsteps + K - 1) // K)):
@@ -175,8 +198,6 @@ def _dp_kernel(
             U_at(pl.ds(chunk * K, K)),
             send_sem.at[chunk % 2],
         ).wait()
-
-    phi0_out[:] = phi_ref[:]
 
 
 def _dp_kernel_batched(
@@ -292,7 +313,8 @@ def _dp_kernel_batched(
 
 
 def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
-                       interpret: bool = False, raw_u: bool = False):
+                       interpret: bool = False, raw_u: bool = False,
+                       unroll: int = 4):
     nt, L = stage.shape
     Lp = _round_up(max(L, 8), 8)
     Bp = _round_up(B + 1, 128)
@@ -301,7 +323,8 @@ def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
     nsteps = nt - 1
     K = _chunk_size(nsteps, Lp, Bp)
 
-    kernel = functools.partial(_dp_kernel, nt=nt, L=L, smax=min(smax, B), K=K)
+    kernel = functools.partial(_dp_kernel, nt=nt, L=L, smax=min(smax, B), K=K,
+                               unroll=unroll)
     U, phi0 = pl.pallas_call(
         kernel,
         out_shape=(
@@ -318,7 +341,6 @@ def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((Lp, Bp), jnp.float32),
             pltpu.VMEM((2, K, Lp, Bp), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],

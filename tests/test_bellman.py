@@ -387,3 +387,41 @@ def test_vmapped_pallas_backtrack_batched_chase_L36():
         lambda U, ph, bt, Bn: backtrack(U, ph, bt, levels, Bn)
     )(U_r, phi_r, btilde_b, Bns)
     np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_s))
+
+
+@pytest.mark.parametrize("unroll", [1, 2, 4, 8])
+def test_pallas_build_unroll_bitmatch(unroll):
+    """Time-step unrolling in the fused build kernel (per-step loop-control
+    amortization at small Lp — BASELINE_SELF.md roofline, round 3) is pure
+    code motion: every unroll factor must reproduce the scan build's tables
+    bit-for-bit, including remainder handling (nsteps % unroll != 0)."""
+    from mioc_tpu.ops.bellman import build_tables, max_budget_use
+    from mioc_tpu.ops.bellman_pallas import _build_tables_impl
+
+    rng = np.random.default_rng(3)
+    s = product_levels([[-2, -1, 0, 1, 2]])
+    nt, B, tau = 131, 16, 0.05  # nsteps=130: remainders for unroll 4 and 8
+    levels = jnp.asarray(s.levels)
+    jump = jnp.asarray(jump_cost_table(s.levels, p=1, beta=1e-3))
+    smax = max_budget_use(s.levels)
+    grad = jnp.asarray(rng.normal(size=(nt, 1)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, s.L, size=nt)])
+    stage, btilde = stage_tables(grad, u_old, levels, tau)
+
+    Ur, phir = build_tables(stage, btilde, jump, B, smax)
+    Up, phip = _build_tables_impl(stage, btilde, jump, B, min(smax, B),
+                                  interpret=INTERPRET, unroll=unroll)
+    # Φ to f32 tolerance (the kernel is f32; the scan reference may be f64);
+    # the argmin table must match EXACTLY — unrolling is pure code motion.
+    np.testing.assert_allclose(
+        np.asarray(phip)[: s.L, : B + 1], np.asarray(phir), rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(Up)[:, : s.L, : B + 1], np.asarray(Ur)
+    )
+    # And across unroll factors the kernel output is bit-identical to the
+    # unroll=1 kernel (same dtype, same op order within each step).
+    U1, phi1 = _build_tables_impl(stage, btilde, jump, B, min(smax, B),
+                                  interpret=INTERPRET, unroll=1)
+    np.testing.assert_array_equal(np.asarray(phip), np.asarray(phi1))
+    np.testing.assert_array_equal(np.asarray(Up), np.asarray(U1))
