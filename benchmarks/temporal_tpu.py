@@ -18,15 +18,23 @@ import time
 import numpy as np
 
 
-def bench(fn, *args, reps=3):
+def bench(fn, grad, u_old, reps=3):
+    """Warm best-of-N with UNIQUE inputs per rep and a VALUE READBACK inside
+    the timed region: `block_until_ready` through the axon tunnel returns
+    before device completion and identical dispatches can be served without
+    re-execution (round-3 finding, CLAUDE.md) — the original
+    same-inputs/block-only version of this harness was unreliable."""
     import jax
-    out = fn(*args)
+    import jax.numpy as jnp
+
+    out = fn(grad, u_old)
     jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(reps):
+    for r in range(1, reps + 1):
+        g = grad + jnp.float32(r * 1e-6)
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        o = fn(g, u_old)
+        float(jnp.sum(o[1].astype(jnp.float32)))  # readback = completion
         best = min(best, time.perf_counter() - t0)
     return best, out
 
