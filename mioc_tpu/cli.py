@@ -50,6 +50,11 @@ def main(argv=None):
                     choices=registry.available())
     ap.add_argument("--n", type=int, default=1024, help="number of time steps")
     ap.add_argument("--seed", type=int, default=None, help="x0 RNG seed")
+    ap.add_argument("--julia-start", action="store_true",
+                    help="generate x0 from a bit-exact replica of the "
+                         "reference's seeded MersenneTwister stream "
+                         "(requires --seed; reproduces a seeded reference "
+                         "run's random start bit-for-bit)")
     ap.add_argument("--beta", type=float, default=None)
     ap.add_argument("--delta0", type=float, default=None)
     ap.add_argument("--p", type=float, default=None)
@@ -92,12 +97,25 @@ def main(argv=None):
         dp_backend=args.dp_backend,
     )
 
+    def _julia_x0(obj, start: int = 0):
+        """x0 from the reference's seeded MersenneTwister stream (or None
+        when --julia-start is off; per-start seeds offset like the numpy
+        multistart path)."""
+        if not args.julia_start:
+            return None
+        if args.seed is None:
+            ap.error("--julia-start requires --seed")
+        from .utils.init import rand_func as _rf
+
+        return _rf(obj, seed=args.seed + start, julia_stream=True)
+
     t0 = time.time()
     if args.problem == "mixed":
         from .solvers.mixed import MixedParameters, mixed_solve
 
         obj = build_objective(args.problem, args.n)
-        mres = mixed_solve(obj, MixedParameters(trm=par), seed=args.seed)
+        mres = mixed_solve(obj, MixedParameters(trm=par), x0=_julia_x0(obj),
+                           seed=args.seed)
         wall = time.time() - t0
         print(f"{wall:.3f} seconds")
         print(f"Objective Value: J = {mres.J}")
@@ -122,7 +140,8 @@ def main(argv=None):
             import jax
 
             x0s = _np.stack(
-                [rand_func(obj, seed=(args.seed or 0) + s)
+                [_julia_x0(obj, s) if args.julia_start
+                 else rand_func(obj, seed=(args.seed or 0) + s)
                  for s in range(args.multistart)]
             )
             mesh = None
@@ -141,8 +160,8 @@ def main(argv=None):
             if not args.no_log:
                 prog = lambda it, s: print(
                     f"  device loop: {it} outer iterations ({s:.1f} s segment)")
-            dev = trm_solve_device(obj, par, seed=args.seed, outer_chunk=chunk,
-                                   progress=prog)
+            dev = trm_solve_device(obj, par, x0=_julia_x0(obj), seed=args.seed,
+                                   outer_chunk=chunk, progress=prog)
         from .solvers.trm import TRMResult
 
         res = TRMResult(
@@ -157,14 +176,20 @@ def main(argv=None):
     elif args.multistart > 1:
         from .parallel import multistart_solve
 
+        x0s = None
+        if args.julia_start:
+            import numpy as _np
+
+            _obj = build_objective(args.problem, args.n)
+            x0s = _np.stack([_julia_x0(_obj, s) for s in range(args.multistart)])
         res, _ = multistart_solve(
             lambda: build_objective(args.problem, args.n),
-            args.multistart, par, seed=args.seed or 0,
+            args.multistart, par, seed=args.seed or 0, x0s=x0s,
         )
         obj = None
     else:
         obj = build_objective(args.problem, args.n)
-        res = trm_solve(obj, par, seed=args.seed)
+        res = trm_solve(obj, par, x0=_julia_x0(obj), seed=args.seed)
     wall = time.time() - t0
 
     print(f"{wall:.3f} seconds")
