@@ -5,12 +5,14 @@ from .io import (
     save_checkpoint,
     save_latex_format,
 )
+from .julia_rng import JuliaMersenneTwister
 from .logging import IterationLog
 
 __all__ = [
     "rand_func",
     "rand_func_cont",
     "rand_func_int",
+    "JuliaMersenneTwister",
     "save_latex_format",
     "import_from_latex_format",
     "save_checkpoint",

@@ -78,6 +78,40 @@ def test_oracle_trace_fishing(tmp_path):
     _compare(res, rows, J_o, u_o, trace_o, obj, obj_o)
 
 
+def test_oracle_trace_fishing_julia_seeded_start(tmp_path):
+    """End-to-end replication of a *seeded reference run*: x0 comes from the
+    bit-exact MersenneTwister stream replica (``utils/julia_rng.py``, the
+    reference's ``rand_func_int(obj; rng=1234)``), and from that start the
+    TRM trace and final control must match the reference transcription
+    bit-for-bit — start generation AND solve trajectory both pinned."""
+    from mioc_tpu.models import LVMObj
+
+    nt = 120
+    obj = LVMObj(nt=nt)
+    x0 = rand_func(obj, seed=1234, julia_stream=True)
+
+    V = [[0, 1], [0, 1], [0, 1]]
+    it = list(oracle.bounded_sum_iterator(V, 1, 1))
+    v1, v2 = np.array([0.2, 0.4, 0.01]), np.array([0.1, 0.2, 0.1])
+    obj_o = oracle.OracleODE(
+        T0=0.0, T1=12.0, nt=nt, state0=[0.5, 0.7], V=V, iterator=it,
+        F=lambda i, y, x: np.array([y[0] * (1 - y[1] - v1 @ x),
+                                    y[1] * (-1 + y[0] - v2 @ x)]),
+        G=lambda i, y, x: 0.5 * (y[0] - 1) ** 2 + 0.5 * (y[1] - 1) ** 2,
+        Fy=lambda i, y, x: np.array([[1 - y[1] - v1 @ x, -y[0]],
+                                     [y[1], -1 + y[0] - v2 @ x]]),
+        Fu=lambda i, y, x: np.stack([-y[0] * v1, -y[1] * v2]),
+        Gy=lambda i, y, x: np.array([y[0] - 1, y[1] - 1]),
+        Gu=lambda i, y, x: np.zeros(3),
+    )
+    J_o, u_o, trace_o = oracle.trm(
+        obj_o, beta=1e-4, p=math.inf, delta0=2.0, x0=x0.T
+    )
+    par = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0, compat_pinf=True)
+    res, rows = _run_repo(obj, par, x0, tmp_path)
+    _compare(res, rows, J_o, u_o, trace_o, obj, obj_o)
+
+
 def test_oracle_trace_vanderpol(tmp_path):
     from mioc_tpu.models import VPOObj
 
