@@ -297,7 +297,10 @@ class JuliaMersenneTwister:
         r &= _LOW_MASK
         rabs = r >> 1  # 51 bits
         idx = rabs & 0xFF
-        x = (-float(rabs) if (r & 1) else float(rabs)) * _WI[idx]
+        # Julia negates the INTEGER rabs (ifelse(r % Bool, -rabs, rabs)), so a
+        # rabs == 0 draw yields +0.0 regardless of the sign bit — negate the
+        # int, not the float, to keep even that 2^-51 case bit-identical.
+        x = float(-rabs if (r & 1) else rabs) * _WI[idx]
         if rabs < _KI[idx]:
             return x
         return self._randn_unlikely(idx, rabs, x)
