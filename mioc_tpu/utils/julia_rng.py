@@ -307,9 +307,12 @@ class JuliaMersenneTwister:
 
     def _randn_unlikely(self, idx: int, rabs: int, x: float) -> float:
         if idx == 0:
+            # math.log(0.0) raises in Python but is -Inf in Julia; a zero
+            # uniform (2^-52 per draw) must reject the sample, not crash.
+            _log = lambda v: math.log(v) if v > 0.0 else -math.inf
             while True:
-                xx = -_ZIG_NOR_INV_R * math.log(self.rand())
-                yy = -math.log(self.rand())
+                xx = -_ZIG_NOR_INV_R * _log(self.rand())
+                yy = -_log(self.rand())
                 if yy + yy > xx * xx:
                     return -_ZIG_NOR_R - xx if (rabs >> 8) & 1 else _ZIG_NOR_R + xx
         elif (_FI[idx - 1] - _FI[idx]) * self.rand() + _FI[idx] < math.exp(-0.5 * x * x):
