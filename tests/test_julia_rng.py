@@ -50,7 +50,7 @@ def test_cache_refill_crosses_block_boundary():
     assert len(set(a)) == len(a)
 
 
-@pytest.mark.parametrize("n", [382, 500, 764, 1024])
+@pytest.mark.parametrize("n", [382, 383, 500, 764, 1024])
 def test_array_fill_equals_scalar_stream(n):
     # The direct dSFMT array fill must produce the same doubles as n scalar
     # cache pops from a fresh state (the array generator is
