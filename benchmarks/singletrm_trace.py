@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Op-level device profile of the SINGLE-start device TRM solve (fishing) —
+locates where the ~13 ms/outer-iteration goes (the weakest bench ratio:
+36 iters/s on TPU vs 65 iters/s host-CPU, only 1.8×).
+
+Run on the TPU (one process at a time, CLAUDE.md):
+    timeout 590 python benchmarks/singletrm_trace.py [nt]
+"""
+
+import sys
+
+import numpy as np
+
+from multistart_trace import top_ops  # noqa: E402  (same directory)
+
+from mioc_tpu.models import registry
+from mioc_tpu.solvers.trm import TRMParameters
+from mioc_tpu.solvers.trm_device import trm_solve_device
+
+
+def main():
+    nt = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+
+    import jax
+
+    print(f"platform: {jax.devices()[0].platform}, nt={nt}")
+    spec = registry.get("fishing")
+    obj = spec.factory(nt=nt)
+    par = TRMParameters(**spec.preset)
+
+    res = trm_solve_device(obj, par, seed=1)  # compile + warm
+    print(f"warm solve: J={float(res.J):.6f}, iters={int(res.iterations)}, "
+          f"converged={bool(res.converged)}")
+    logdir = "/tmp/mioc_trace_single"
+    with jax.profiler.trace(logdir):
+        res = trm_solve_device(obj, par, seed=1)
+        _ = float(res.J)  # readback forces completion inside the trace
+    print(f"== single-start device TRM (fishing nt={nt}, "
+          f"{int(res.iterations)} outer iters) ==")
+    top_ops(logdir, n=30)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,13 @@ class LazyObjective(Objective):
       ``eval_df_impl() -> df`` — gradient at the cached ``x``/``aux``.
     """
 
+    # True when ``jax.vmap`` of the forward sweep computes every lane with
+    # arithmetic bit-identical to the single sweep (elementwise scans).
+    # Matmul-bearing sweeps batch matvecs into matmuls, changing f32
+    # accumulation order — leave False there.  Consumed by the device TRM's
+    # speculative-halving default (solvers/trm_device.py).
+    _batched_sweeps_bitexact = False
+
     def eval_f_impl(self, x, cache: bool):
         raise NotImplementedError
 

@@ -127,12 +127,26 @@ class ODEObjective(LazyObjective):
     (running cost, scalar); optionally ``Fy``, ``Fu``, ``Gy``, ``Gu``.
     """
 
+    # The scan sweeps are elementwise per time step: ``jax.vmap`` over a
+    # candidate/start axis computes each lane with the identical arithmetic,
+    # so batched sweeps bit-match single sweeps even in f32.  Enables
+    # speculative halving by default in the device TRM (trm_device.py) —
+    # matmul-bearing objectives (PDE, convolution) must leave this False.
+    _batched_sweeps_bitexact = True
+
     def __init__(self, *, T0, T1, nt, state0, nu=0, V=None, admissible=None,
-                 dtype=None):
+                 dtype=None, sweep_unroll=8):
         super().__init__()
         self.T0 = float(T0)
         self.T1 = float(T1)
         self.nt = int(nt)
+        # lax.scan unroll factor for both sweeps.  The per-step state is tiny
+        # (f32[ny]), so the sweeps are bound by while-loop bookkeeping, not
+        # compute: an op-level profile of the single-start device TRM
+        # (benchmarks/singletrm_trace.py) showed ~3 µs/step of loop overhead
+        # vs ~1.5 µs of fused op time at nt=1024.  Unrolling amortizes the
+        # bookkeeping; it is bit-identical (same per-step ops, same order).
+        self.sweep_unroll = int(sweep_unroll)
         self.tau = (self.T1 - self.T0) / self.nt
         self.V = V
         self.admissible = admissible
@@ -236,6 +250,7 @@ class ODEObjective(LazyObjective):
             return
 
         tau, nt = self.tau, self.nt
+        unroll = max(1, min(self.sweep_unroll, nt))
 
         def forward(x):
             def step(y, xs):
@@ -244,7 +259,8 @@ class ODEObjective(LazyObjective):
                 return ynew, ynew
 
             idx = jnp.arange(nt)
-            _, ys = lax.scan(step, self.state0, (x, idx))  # ys[k] = y_{k+1}
+            _, ys = lax.scan(step, self.state0, (x, idx),
+                             unroll=unroll)  # ys[k] = y_{k+1}
 
             ys_all = jnp.concatenate([self.state0[None], ys])  # y_0 … y_nt
             # G-argument indices per the reference (time idx i, control col):
@@ -270,7 +286,7 @@ class ODEObjective(LazyObjective):
 
             # k = nt-2 … 0 uses (y_{k+1}, u_{k+1}) = (ys[k], x[k+1]).
             xs = (ys[:-1][::-1], x[1:][::-1], jnp.arange(1, nt)[::-1])
-            _, lams_rev = lax.scan(bstep, lamT, xs)
+            _, lams_rev = lax.scan(bstep, lamT, xs, unroll=unroll)
             lam = jnp.concatenate([lams_rev[::-1], lamT[None]])  # λ_0-based k
 
             ys0 = jnp.concatenate([self.state0[None], ys[:-1]])  # y_0 … y_{nt-1}

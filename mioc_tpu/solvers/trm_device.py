@@ -56,7 +56,7 @@ _DEVICE_TRM_CACHE: dict = {}
 
 
 def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
-                    outer_chunk=None):
+                    outer_chunk=None, speculative: bool = False):
     """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
     parameters ``par`` (a TRMParameters).  The returned function contains the
     full TRM; vmap it for batched multistart — with ``use_pallas`` both fused
@@ -78,7 +78,24 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     iterations are cheaper than steady state), then segments are sized to
     ~30 s of device time, growing at most 4× per segment.  Fast solves
     finish in one remainder dispatch after the probes; slow solves stay
-    deadline-safe throughout."""
+    deadline-safe throughout.
+
+    ``speculative=True`` replaces the sequential inner accept/halve loop with
+    one BATCHED trial wave: the halving budget schedule is static
+    (``B_k = ⌊δ₀/2^{k-1}/Δt⌋`` until it reaches 0, where the zero-budget
+    trial returns ``u_old`` and the ``pred ≤ 0`` certificate fires), so all
+    candidate trials come from the SAME DP tables — one vmapped backtrack
+    chase + one vmapped forward sweep evaluate every candidate at once, and
+    the first candidate satisfying the sequential loop's exit condition is
+    selected.  Results (accepted iterates, J, certificate, ``u_cand``) are
+    identical to the sequential loop; the ``f_evals``/``inner_steps``
+    counters report the SEQUENTIAL-equivalent trial count (the number the
+    non-speculative loop performs), so traces stay comparable — the device
+    does K sweeps per outer iteration, but batched, which is the point: the
+    tiny-state ODE sweeps are per-op-overhead-bound (~4.6 ms/sweep at
+    fishing nt=1024 whether the state is (2,) or (K, 2) —
+    benchmarks/singletrm_trace.py), so one batched wave replaces ~4-5
+    sequential sweeps per outer iteration."""
     adm = obj.admissible
     if adm is None or adm.L == 0:
         raise ValueError("Objective has no admissible integer level combinations.")
@@ -143,6 +160,20 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                 jnp.bool_(False), jnp.int32(1), jnp.int32(0), jnp.int32(1),
                 jnp.int32(0), jnp.int32(0))
 
+    # Static speculative halving schedule: δ₀, δ₀/2, … until the budget
+    # floors to 0 (that trial is u_old itself — pred = 0 fires the
+    # certificate, so the sequential loop can never go past it), capped at
+    # kmax like the sequential loop.
+    _B_sched = []
+    _d = delta0
+    for _ in range(kmax):
+        _Bk = int(math.floor(_d / dt))
+        _B_sched.append(_Bk)
+        if _Bk == 0:
+            break
+        _d /= 2.0
+    K_spec = len(_B_sched)
+
     def run_outer(c0, it_hi, levels, jump, sweep_ops):
         fwd, adj = _fwd_adj(c0[0], sweep_ops)
 
@@ -152,6 +183,63 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
         def outer_cond(c):
             (_, _, _, _, _, _, stop, it, _, _, _, _) = c
             return (~stop) & (it <= it_hi)
+
+        def outer_body_speculative(c):
+            (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
+             f_evals, df_evals, dp_builds) = c
+            grad, _ = adj(u_old, ys_old)
+            df_evals = df_evals + 1
+            stage, btilde = stage_tables(grad, u_old, levels, dt)
+            U, phi0 = dp_build(stage, btilde, jump, B, smax)
+            dp_builds = dp_builds + 1
+
+            # One batched trial wave over the whole halving schedule (the
+            # vmapped chase hits the batched kernel via its custom_vmap rule,
+            # broadcasting the shared tables).
+            B_ks = jnp.asarray(_B_sched, jnp.int32)
+            us, _ = jax.vmap(dp_backtrack,
+                             in_axes=(None, None, None, None, 0))(
+                U, phi0, btilde, levels, B_ks)
+            int_vals = dt * jnp.sum(grad[None] * (u_old[None] - us),
+                                    axis=(1, 2))
+            TV_news = jax.vmap(lambda uu: _tv(uu, p))(us)
+            J_news, ys_news = jax.vmap(fwd)(us)
+
+            pred_k = int_vals + beta * (TV_old - TV_news)
+            ared_k = jnp.where(
+                jnp.isfinite(J_news),
+                J_old - J_news + beta * (TV_old - TV_news),
+                -jnp.inf,
+            )
+            optimal_k = pred_k <= 0
+            good_k = (~optimal_k) & (ared_k >= sigma * pred_k)
+            # Exact sequential exit condition: the loop leaves iteration k on
+            # `done` (optimal|good) OR when `ared_k < σ·pred_k` is False —
+            # the latter differs only when pred/ared is NaN (NaN comparisons
+            # are False), which must exit WITHOUT accepting, like the
+            # sequential loop does.
+            exit_k = optimal_k | good_k | ~(ared_k < sigma * pred_k)
+            has = jnp.any(exit_k)
+            sel = jnp.where(has, jnp.argmax(exit_k), K_spec - 1)
+            optimal = has & optimal_k[sel]
+            good = has & good_k[sel]
+            u = us[sel]
+            ys_new = ys_news[sel]
+            J_new = J_news[sel]
+            TV_new = TV_news[sel]
+
+            u_old_n = jnp.where(good, u, u_old)
+            ys_old_n = jnp.where(good, ys_new, ys_old)
+            J_old_n = jnp.where(good, J_new, J_old)
+            TV_old_n = jnp.where(good, TV_new, TV_old)
+            stop_n = stop | optimal
+            J_ret_n = jnp.where(optimal, J_old,
+                                jnp.where(good, J_new, J_ret))
+            # Sequential-equivalent trial count (see docstring).
+            n_trials = sel.astype(jnp.int32) + 1
+            return (u_old_n, ys_old_n, J_old_n, TV_old_n, u, J_ret_n, stop_n,
+                    it + 1, inner_total + n_trials, f_evals + n_trials,
+                    df_evals, dp_builds)
 
         def outer_body(c):
             (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
@@ -213,7 +301,8 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
             return (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it + 1,
                     inner_total, f_evals, df_evals, dp_builds)
 
-        return jax.lax.while_loop(outer_cond, outer_body, c0)
+        body = outer_body_speculative if speculative else outer_body
+        return jax.lax.while_loop(outer_cond, body, c0)
 
     def finalize(c):
         (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it, inner_total,
@@ -243,7 +332,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
 
     cache_key = (
         type(obj), _params_key(obj), beta, sigma, p, kmax, maxiter, delta0,
-        bool(par.compat_pinf), bool(use_pallas),
+        bool(par.compat_pinf), bool(use_pallas), bool(speculative),
     )
     jits = _DEVICE_TRM_CACHE.get(cache_key)
     if jits is None:
@@ -335,7 +424,8 @@ def _segmented_loop(outer_jit, c, operands, outer_chunk, maxiter, read_state,
 
 def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
                      use_pallas: Optional[bool] = None,
-                     outer_chunk="auto", progress=None):
+                     outer_chunk="auto", progress=None,
+                     speculative: Optional[bool] = None):
     """One device-resident TRM solve; returns a host-side summary dict plus
     the accepted control (single readback at the end — or one two-scalar
     readback per ``outer_chunk`` iterations when segmenting).
@@ -350,7 +440,19 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
     Segmented solves honor ``par.checkpoint_path`` (an npz snapshot of the
     accepted control after every segment — restartable crash recovery for
     multi-minute solves, same format as the host loop's) and
-    ``par.resume_from``."""
+    ``par.resume_from``.
+
+    ``speculative`` evaluates the whole trust-region halving schedule as ONE
+    batched trial wave per outer iteration instead of a sequential inner
+    loop — identical iterates and sequential-equivalent counters (see
+    :func:`make_device_trm`).  Default (``None``): enabled when the
+    objective declares its batched sweeps bit-exact per lane
+    (``_batched_sweeps_bitexact`` — true for elementwise-scan ODE sweeps,
+    where it measures 2.9× at fishing nt=1024 on v5e), disabled for
+    matmul-bearing sweeps (PDE, convolution) whose vmapped form changes f32
+    accumulation order: still exact in exact arithmetic (bit-identical on
+    CPU f64) and ~1.3× faster on heat, but the f32 trajectory can drift to a
+    different (equally certified) local optimum — pass ``True`` to opt in."""
     from .trm import TRMParameters
 
     par = par or TRMParameters()
@@ -360,8 +462,10 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
         x0 = load_checkpoint(par.resume_from)["u"]
     if x0 is None:
         x0 = rand_func(obj, seed=seed)
+    if speculative is None:
+        speculative = bool(getattr(obj, "_batched_sweeps_bitexact", False))
     run = make_device_trm(obj, par, use_pallas=use_pallas,
-                          outer_chunk=outer_chunk)
+                          outer_chunk=outer_chunk, speculative=speculative)
     on_segment = None
     if par.checkpoint_path and outer_chunk:
         from ..utils.io import save_checkpoint

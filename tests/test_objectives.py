@@ -154,3 +154,27 @@ def test_fd_checker_catches_wrong_jacobian():
 
     errs = BadLVM(nt=64).test_Fy(seed=0)
     assert errs.min() > 1e-3
+
+
+@pytest.mark.parametrize("nt", [200, 1023])
+def test_sweep_unroll_bit_identical(nt):
+    """Scan unrolling (the TPU latency fix for the tiny-state ODE sweeps)
+    must be a pure scheduling change: objective, trajectory, and adjoint
+    gradient bit-match the unroll=1 sweeps, including non-divisible nt."""
+    rng = np.random.default_rng(0)
+    results = []
+    for unroll in (1, 8):
+        obj = LVMObj(nt=nt)
+        obj.sweep_unroll = unroll
+        obj._build()
+        x = jnp.asarray(obj.admissible.levels[rng.integers(0, 3, size=nt)],
+                        obj.dtype)
+        rng = np.random.default_rng(0)  # same draw for both unrolls
+        obj.x = x
+        f = obj.eval_f_()
+        obj.eval_df_()
+        results.append((f, np.asarray(obj.state), np.asarray(obj.df)))
+    (f1, ys1, df1), (f8, ys8, df8) = results
+    assert f1 == f8
+    np.testing.assert_array_equal(ys1, ys8)
+    np.testing.assert_array_equal(df1, df8)

@@ -151,3 +151,37 @@ def test_device_loop_matches_host_heat():
     dev = trm_solve_device(obj_d, params, x0=x0)
     np.testing.assert_array_equal(np.asarray(dev.u), host.u)
     np.testing.assert_allclose(float(dev.J), host.J, rtol=max(J_RTOL, 1e-10))
+
+
+def test_speculative_halving_matches_sequential():
+    """The batched trial wave (speculative=True, the trm_solve_device default)
+    must reproduce the sequential inner loop field-for-field — accepted
+    control, J, certificate, AND the sequential-equivalent counters — on an
+    ODE and a Lazy (stateless-aux) objective."""
+    cases = [
+        (LVMObj, dict(nt=240), TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)),
+    ]
+    if F64:
+        # ConvObj's sweeps are matmul-based: batched f32 accumulation can
+        # drift (why speculative defaults off there) — exact on CPU f64.
+        cases.append(
+            (ConvObj, dict(nt=256), TRMParameters(beta=1e-4, p=1, delta0=0.125))
+        )
+    for cls, kw, params in cases:
+        x0 = rand_func(cls(**kw), seed=3)
+        seq = trm_solve_device(cls(**kw), params, x0=x0, speculative=False)
+        spec = trm_solve_device(cls(**kw), params, x0=x0, speculative=True)
+        np.testing.assert_array_equal(np.asarray(spec.u), np.asarray(seq.u))
+        np.testing.assert_array_equal(np.asarray(spec.x_final),
+                                      np.asarray(seq.x_final))
+        for field in ("converged", "iterations", "inner_steps", "f_evals",
+                      "df_evals", "dp_builds"):
+            assert np.asarray(getattr(spec, field)) == np.asarray(
+                getattr(seq, field)), field
+        for field in ("J", "f", "tv"):
+            # The batched wave computes the trial objectives through
+            # differently-fused reductions: last-ulp f32 noise on chip
+            # (trajectories above are exactly equal), exact on CPU f64.
+            np.testing.assert_allclose(
+                np.asarray(getattr(spec, field)),
+                np.asarray(getattr(seq, field)), rtol=J_RTOL, err_msg=field)
