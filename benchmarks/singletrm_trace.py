@@ -3,8 +3,9 @@
 locates where the ~13 ms/outer-iteration goes (the weakest bench ratio:
 36 iters/s on TPU vs 65 iters/s host-CPU, only 1.8×).
 
-Run on the TPU (one process at a time, CLAUDE.md):
-    timeout 590 python benchmarks/singletrm_trace.py [nt]
+Run on the TPU (one process at a time; NO hard timeout wrapper — a kill
+mid-claim can wedge the tunnel, CLAUDE.md — run detached and poll the log):
+    nohup python benchmarks/singletrm_trace.py [nt] > /tmp/singletrm.log 2>&1 &
 """
 
 import sys

@@ -125,6 +125,16 @@ class ODEObjective(LazyObjective):
     """Abstract ODE objective.  Subclasses set dimensions and implement
     ``F(self, y, u, i)`` (rhs, shape ``(ny,)``) and ``G(self, y, u, i)``
     (running cost, scalar); optionally ``Fy``, ``Fu``, ``Gy``, ``Gu``.
+
+    Note on ``_batched_sweeps_bitexact`` (class attribute, default True):
+    it declares that ``jax.vmap`` of the sweeps reproduces each lane's
+    single-sweep arithmetic bit-for-bit, which enables speculative trial
+    waves by default in the device TRM.  That holds for elementwise per-step
+    dynamics (all bundled models); a subclass whose ``F``/``G`` contracts a
+    matrix against the state (``y @ A`` on a larger state) gets those dots
+    batched into matmuls under vmap, changing f32 accumulation order — such
+    subclasses should set ``_batched_sweeps_bitexact = False`` (the
+    PDE/convolution objectives do).
     """
 
     # The scan sweeps are elementwise per time step: ``jax.vmap`` over a

@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["backtrack_pallas"]
+__all__ = ["backtrack_pallas", "backtrack_pallas_trials"]
 
 _INF = np.float32(np.inf)
 _BIG = np.int32(2**30)
@@ -243,6 +243,217 @@ def _bt_kernel_batched(
     idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
 
 
+def _bt_kernel_trials(
+    bnew_ref,     # (S, 128) i32, VMEM — Kt budget caps per start, lane-padded
+    phi0_ref,     # (S, Lp, Bp) f32, VMEM
+    btilde_ref,   # (nt, S, L) i32, VMEM — time-major, unpadded level axis
+    U_hbm_ref,    # (S, Tp, Lp, Bp) i32, HBM
+    idx_ref,      # out: (Kt, S, ntp) i32, VMEM
+    u_buf_ref,    # scratch: (2, S, K, Lp, Bp) i32 — double-buffered prefetch
+    idx_buf_ref,  # scratch: (Kt, S, 128) i32 — staging rows per trial
+    sem,          # DMA semaphores (2,)
+    *,
+    nt: int,
+    K: int,
+    Kt: int,
+):
+    """Trial-wave chase: ``Kt`` budget caps per start against ONE shared
+    table set.  The speculative TRM evaluates every halving trial from the
+    same DP tables (``HelpFunctions.jl:98-124`` — the reference's economics);
+    chasing them as a batch axis would broadcast/materialize ``U`` ``Kt``
+    times (fishing ×32: 9 × 256 MB per outer iteration).  Here the U planes
+    are DMA'd once per step and ``Kt`` statically-unrolled pointer states
+    advance in lockstep — per-trial results are bit-identical to
+    :func:`backtrack_pallas` at each cap."""
+    S, Lp, Bp = phi0_ref.shape
+    L = btilde_ref.shape[2]
+    nsteps = nt - 1
+    nchunks = -(-nsteps // K)
+    b_row = jax.lax.broadcasted_iota(jnp.int32, (S, Bp), 1)
+    t128 = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+
+    # Per-trial seed argmin (reference column-major order — see
+    # _bt_kernel_batched for the broadcast constraints shaping this code).
+    seeds = []
+    for t in range(Kt):
+        bn = bnew_ref[:, t:t + 1]                     # (S, 1)
+        bmask = b_row <= bn
+        gmin = jnp.full((S, 1), _INF)
+        rowmins, rowbs = [], []
+        for j in range(L):
+            masked_j = jnp.where(bmask, phi0_ref[:, j], _INF)
+            rm = jnp.min(masked_j, axis=1, keepdims=True)
+            rb = jnp.min(jnp.where(masked_j == rm, b_row, _BIG),
+                         axis=1, keepdims=True)
+            rowmins.append(rm)
+            rowbs.append(rb)
+            gmin = jnp.minimum(gmin, rm)
+        l0 = jnp.full((S, 1), _BIG)
+        b0 = jnp.zeros((S, 1), jnp.int32)
+        for j in range(L):
+            hit = (rowmins[j] == gmin) & (l0 == _BIG)
+            l0 = jnp.where(hit, j, l0)
+            b0 = jnp.where(hit, rowbs[j], b0)
+        seeds.extend((l0, b0))
+        idx_buf_ref[t] = jnp.where(t128 == 0, l0,
+                                   jnp.zeros((S, 128), jnp.int32))
+
+    def start_chunk(c, slot):
+        pltpu.make_async_copy(
+            U_hbm_ref.at[:, pl.ds(c * K, K)], u_buf_ref.at[slot], sem.at[slot]
+        ).start()
+
+    start_chunk(0, 0)
+    if nchunks > 1:
+        start_chunk(1, 1)
+
+    def step(k, carry):
+        chunk = k // K
+        row = k - chunk * K
+        slot = jax.lax.rem(chunk, 2)
+
+        @pl.when(row == 0)
+        def _():
+            pltpu.make_async_copy(
+                U_hbm_ref.at[:, pl.ds(chunk * K, K)], u_buf_ref.at[slot],
+                sem.at[slot],
+            ).wait()
+
+        plane = u_buf_ref[slot, :, row]  # (S, Lp, Bp) — shared by all trials
+        bt_row = btilde_ref[k]           # (S, L)
+        p = k + 1
+        out_chunk = p // 128
+        out_row = p - out_chunk * 128
+
+        new_carry = []
+        for t in range(Kt):
+            l, b = carry[2 * t], carry[2 * t + 1]
+            rowv = jnp.where(l == 0, plane[:, 0], 0)
+            for j in range(1, L):
+                rowv = jnp.where(l == j, plane[:, j], rowv)
+            l_next = jnp.max(jnp.where(b_row == b, rowv, 0),
+                             axis=1, keepdims=True)
+            bt_l = jnp.where(l == 0, bt_row[:, :1], 0)
+            for j in range(1, L):
+                bt_l = jnp.where(l == j, bt_row[:, j:j + 1], bt_l)
+            new_carry.extend((l_next, b - bt_l))
+
+            @pl.when(out_row == 0)
+            def _(t=t):
+                idx_ref[t, :, pl.ds((out_chunk - 1) * 128, 128)] = \
+                    idx_buf_ref[t]
+                idx_buf_ref[t] = jnp.zeros((S, 128), jnp.int32)
+
+            idx_buf_ref[t] = jnp.where(t128 == out_row, l_next,
+                                       idx_buf_ref[t])
+
+        @pl.when((row == K - 1) & (chunk + 2 <= nchunks - 1))
+        def _():
+            start_chunk(chunk + 2, slot)
+
+        return tuple(new_carry)
+
+    jax.lax.fori_loop(0, nsteps, step, tuple(seeds))
+    for t in range(Kt):
+        idx_ref[t, :, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[t]
+
+
+def _backtrack_trials_impl(U, phi0, btilde, levels, B_trials,
+                           interpret: bool = False):
+    """Dispatch the trial-wave chase on batched padded tables
+    ``U (S, T, Lp, Bp)`` with per-start budget caps ``B_trials (S, Kt)``.
+    Returns ``(u (S, Kt, nt, M), level_idx (S, Kt, nt))``."""
+    from .bellman_pallas import _chunk_size, _tpad
+
+    S, T, Lp, Bp = U.shape
+    Kt = B_trials.shape[1]
+    if Kt > 128:
+        raise ValueError("trial-wave chase supports at most 128 trials")
+    nt = btilde.shape[1]
+    nsteps = nt - 1
+    K = _chunk_size(nsteps, Lp, Bp, S)
+    need = -(-nsteps // K) * K
+    if T < need:  # sliced tables: re-pad the time axis (raw ones never hit)
+        U = jnp.concatenate(
+            [U, jnp.zeros((S, _tpad(nsteps) - T, Lp, Bp), U.dtype)], axis=1)
+
+    bnew = jnp.zeros((S, 128), jnp.int32).at[:, :Kt].set(
+        B_trials.astype(jnp.int32))
+    ntp = -(-nt // 128) * 128
+    kernel = functools.partial(_bt_kernel_trials, nt=nt, K=K, Kt=Kt)
+    idx = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Kt, S, ntp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # U stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, S, K, Lp, Bp), jnp.int32),
+            pltpu.VMEM((Kt, S, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(bnew, phi0.astype(jnp.float32), btilde.transpose(1, 0, 2), U)
+    level_idx = idx[:, :, :nt].transpose(1, 0, 2)  # (S, Kt, nt)
+    levels = jnp.asarray(levels)
+    return levels[level_idx], level_idx
+
+
+@functools.lru_cache(maxsize=None)
+def _cv_trials(interpret: bool):
+    """custom_vmap wrapper for the trial wave: unbatched call = one table
+    set (S=1); a vmap over starts dispatches ONE kernel for all S·Kt pointer
+    chases with the U planes DMA'd once."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(U, phi0, btilde, levels, B_trials):
+        u, idx = _backtrack_trials_impl(U[None], phi0[None], btilde[None],
+                                        levels, B_trials[None], interpret)
+        return u[0], idx[0]
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, U, phi0, btilde, levels, B_trials):
+        ub, pb, bb, lb, nb = in_batched
+        if lb:
+            args = [
+                a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip((U, phi0, btilde, levels, B_trials),
+                                in_batched)
+            ]
+            out = jax.lax.map(lambda t: fn(*t), tuple(args))
+            return out, (True, True)
+
+        def bc(a, batched):
+            return a if batched else jnp.broadcast_to(
+                a[None], (axis_size,) + a.shape)
+
+        out = _backtrack_trials_impl(
+            bc(U, ub), bc(phi0, pb), bc(btilde, bb), levels,
+            bc(jnp.asarray(B_trials, jnp.int32), nb), interpret)
+        return out, (True, True)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def backtrack_pallas_trials(U, phi0, btilde, levels, B_trials,
+                            interpret: bool = False):
+    """Chase ``Kt`` budget caps against ONE padded table set:
+    ``B_trials (Kt,)`` → ``(u (Kt, nt, M), level_idx (Kt, nt))``, each row
+    bit-identical to ``backtrack_pallas(..., B_trials[t])``.  Under
+    ``jax.vmap`` (batched multistart) all ``S·Kt`` chases run in one kernel
+    invocation with the shared U planes streamed once (no ×Kt broadcast of
+    the argmin tables)."""
+    return _cv_trials(interpret)(U, phi0, btilde, levels,
+                                 jnp.asarray(B_trials, jnp.int32))
+
+
 def _backtrack_batched_impl(U, phi0, btilde, levels, B_new,
                             interpret: bool = False):
     """Dispatch the batched chase kernel on padded tables ``U (S, T, Lp, Bp)``
@@ -326,6 +537,62 @@ def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
+def _cv_batched_backtrack(interpret: bool):
+    """Recursively-batchable wrapper around the batched chase kernel: an
+    outer ``jax.vmap`` over an already-batched chase (e.g. the speculative
+    trial wave — K trials — inside the vmapped multistart solver — S starts)
+    FLATTENS the new axis into the kernel's batch axis, so arbitrary vmap
+    nesting still dispatches ONE ``(S·K)``-batched kernel invocation instead
+    of falling back to pallas_call's sequential grid batching."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(U, phi0, btilde, levels, B_new):
+        return _backtrack_batched_impl(U, phi0, btilde, levels, B_new,
+                                       interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, U, phi0, btilde, levels, B_new):
+        ub, pb, bb, lb, nb = in_batched
+        if lb:
+            # Batched level VALUES never occur on the solver paths (the level
+            # set is static per objective); keep a correct sequential map.
+            args = [
+                a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip((U, phi0, btilde, levels,
+                                 jnp.asarray(B_new, jnp.int32)),
+                                in_batched)
+            ]
+            out = jax.lax.map(lambda t: fn(*t), tuple(args))
+            return out, (True, True)
+
+        S2 = axis_size
+
+        def bc(a, batched):
+            return a if batched else jnp.broadcast_to(a[None], (S2,) + a.shape)
+
+        U = bc(U, ub)                     # (S2, S, T, Lp, Bp)
+        phi0 = bc(phi0, pb)               # (S2, S, Lp, Bp)
+        btilde = bc(btilde, bb)           # (S2, S, nt, L)
+        S = U.shape[1]
+        B_new = jnp.broadcast_to(
+            jnp.asarray(B_new, jnp.int32).reshape((S2, -1) if nb else (1, -1)),
+            (S2, S),
+        )
+        out_u, out_idx = fn(
+            U.reshape((S2 * S,) + U.shape[2:]),
+            phi0.reshape((S2 * S,) + phi0.shape[2:]),
+            btilde.reshape((S2 * S,) + btilde.shape[2:]),
+            levels,
+            B_new.reshape(S2 * S),
+        )
+        return (out_u.reshape((S2, S) + out_u.shape[1:]),
+                out_idx.reshape((S2, S) + out_idx.shape[1:])), (True, True)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
 def _cv_backtrack(interpret: bool):
     """custom_vmap wrapper: jax.vmap of the fused backtrack dispatches to the
     batched chase kernel on tile-padded tables (the vmapped device TRM), and
@@ -349,8 +616,8 @@ def _cv_backtrack(interpret: bool):
             if not bb:
                 btilde = jnp.broadcast_to(btilde[None],
                                           (axis_size,) + btilde.shape)
-            out = _backtrack_batched_impl(U, phi0, btilde, levels, B_new,
-                                          interpret)
+            out = _cv_batched_backtrack(interpret)(U, phi0, btilde, levels,
+                                                   B_new)
             return out, (True, True)
         from .bellman import backtrack
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.backtrack_pallas import backtrack_pallas
+from ..ops.backtrack_pallas import backtrack_pallas, backtrack_pallas_trials
 from ..ops.bellman import backtrack, build_tables, max_budget_use, stage_tables
 from ..ops.bellman_pallas import build_tables_pallas, pallas_supported
 from ..ops.levels import jump_cost_table
@@ -88,7 +88,13 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     chase + one vmapped forward sweep evaluate every candidate at once, and
     the first candidate satisfying the sequential loop's exit condition is
     selected.  Results (accepted iterates, J, certificate, ``u_cand``) are
-    identical to the sequential loop; the ``f_evals``/``inner_steps``
+    identical to the sequential loop up to decision-boundary ulp effects:
+    the accept test compares ``ared``/``pred`` built from batched reductions
+    whose last-ulp f32 rounding can differ from the sequential scalar
+    reductions, so exactly AT the ``σ·pred`` boundary an f32 device may take
+    a different (equally certified) branch — bit-exact on CPU f64 and for
+    objectives whose batched sweeps are bit-exact per lane
+    (``_batched_sweeps_bitexact``).  The ``f_evals``/``inner_steps``
     counters report the SEQUENTIAL-equivalent trial count (the number the
     non-speculative loop performs), so traces stay comparable — the device
     does K sweeps per outer iteration, but batched, which is the point: the
@@ -163,15 +169,21 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     # Static speculative halving schedule: δ₀, δ₀/2, … until the budget
     # floors to 0 (that trial is u_old itself — pred = 0 fires the
     # certificate, so the sequential loop can never go past it), capped at
-    # kmax like the sequential loop.
+    # kmax like the sequential loop.  Computed in the OBJECTIVE dtype's
+    # arithmetic: the sequential loop floors a carried δ of that dtype
+    # (f32 on TPU), and for δ/Δt near an integer a Python-f64 floor could
+    # differ by 1, silently chasing a different budget than the sequential
+    # loop (ADVICE round 3).
+    _sdtype = np.dtype(getattr(obj, "dtype", None) or np.float64)
     _B_sched = []
-    _d = delta0
+    _d = np.asarray(delta0, _sdtype)
+    _dt = np.asarray(dt, _sdtype)
     for _ in range(kmax):
-        _Bk = int(math.floor(_d / dt))
+        _Bk = int(np.floor(_d / _dt))
         _B_sched.append(_Bk)
         if _Bk == 0:
             break
-        _d /= 2.0
+        _d = (_d / _sdtype.type(2.0)).astype(_sdtype)
     K_spec = len(_B_sched)
 
     def run_outer(c0, it_hi, levels, jump, sweep_ops):
@@ -193,13 +205,18 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
             U, phi0 = dp_build(stage, btilde, jump, B, smax)
             dp_builds = dp_builds + 1
 
-            # One batched trial wave over the whole halving schedule (the
-            # vmapped chase hits the batched kernel via its custom_vmap rule,
-            # broadcasting the shared tables).
+            # One batched trial wave over the whole halving schedule.  On the
+            # Pallas path the trial-wave chase kernel streams the shared U
+            # planes ONCE for all K (and, under the multistart vmap, all S·K)
+            # pointer chases; the scan path vmaps the backtrack (the tables
+            # broadcast lazily there).
             B_ks = jnp.asarray(_B_sched, jnp.int32)
-            us, _ = jax.vmap(dp_backtrack,
-                             in_axes=(None, None, None, None, 0))(
-                U, phi0, btilde, levels, B_ks)
+            if use_pallas:
+                us, _ = backtrack_pallas_trials(U, phi0, btilde, levels, B_ks)
+            else:
+                us, _ = jax.vmap(dp_backtrack,
+                                 in_axes=(None, None, None, None, 0))(
+                    U, phi0, btilde, levels, B_ks)
             int_vals = dt * jnp.sum(grad[None] * (u_old[None] - us),
                                     axis=(1, 2))
             TV_news = jax.vmap(lambda uu: _tv(uu, p))(us)
@@ -491,13 +508,24 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
 
 
 def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
-                            outer_chunk=None, progress=None):
+                            outer_chunk=None, progress=None,
+                            speculative: Optional[bool] = None):
     """Batched multistart: vmap the device TRM over ``x0s (S, nt, nx)``;
     every start runs its own accept/halve schedule in lockstep hardware.
     Returns the vmapped DeviceTRMResult (one readback).  The fused Pallas DP
     build AND backtrack batch via their custom_vmap rules (start axis folded
     inside one kernel invocation each); pass ``use_pallas=False`` to force
     the XLA-scan DP.
+
+    ``speculative`` (default: on when the objective declares
+    ``_batched_sweeps_bitexact``, like :func:`trm_solve_device`) evaluates
+    each start's whole halving schedule as ONE batched trial wave per outer
+    iteration: the trial axis composes with the start axis, so the fused
+    chase kernel runs a single ``(S·K)``-batched invocation per outer body
+    (the nested-vmap flattening rule in
+    :mod:`mioc_tpu.ops.backtrack_pallas`) and the ODE trial sweeps batch
+    ``(S, K)`` — the same per-op-overhead amortization that takes the
+    single-solve fishing TRM from 36 to 151 iters/s (BASELINE_SELF.md).
 
     With a device ``mesh`` the start axis is sharded over its ``batch`` axis
     (scenario data parallelism across chips).
@@ -518,7 +546,10 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     if use_pallas is None:
         use_pallas = par.use_pallas if par.use_pallas is not None \
             else pallas_supported()
-    run = make_device_trm(obj, par, use_pallas=use_pallas)
+    if speculative is None:
+        speculative = bool(getattr(obj, "_batched_sweeps_bitexact", False))
+    run = make_device_trm(obj, par, use_pallas=use_pallas,
+                          speculative=speculative)
     levels, jump, sweep_ops = run.operands
     x0s = jnp.asarray(x0s, dtype=levels.dtype)
 

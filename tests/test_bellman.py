@@ -425,3 +425,101 @@ def test_pallas_build_unroll_bitmatch(unroll):
                                   interpret=INTERPRET, unroll=1)
     np.testing.assert_array_equal(np.asarray(phip), np.asarray(phi1))
     np.testing.assert_array_equal(np.asarray(Up), np.asarray(U1))
+
+
+def test_trial_wave_chase_matches_per_trial_backtrack():
+    """The trial-wave chase kernel (one shared table set, Kt budget caps —
+    the speculative TRM's inner wave) bit-matches the scan backtrack at every
+    cap, both unbatched and under the multistart vmap (one kernel for all
+    S·Kt pointer chases)."""
+    import jax
+
+    from mioc_tpu.ops.backtrack_pallas import backtrack_pallas_trials
+    from mioc_tpu.ops.bellman import backtrack, build_tables, max_budget_use
+    from mioc_tpu.ops.bellman_pallas import build_tables_pallas
+
+    rng = np.random.default_rng(11)
+    s = bounded_sum_levels([[0, 1], [0, 1], [0, 1]], 1, 1)
+    nt, B, tau, S = 150, 23, 0.1, 3
+    levels = jnp.asarray(s.levels)
+    jump = jnp.asarray(jump_cost_table(s.levels, p=np.inf, beta=1e-3))
+    smax = max_budget_use(s.levels)
+    B_ks = jnp.asarray([23, 11, 5, 2, 1, 0], jnp.int32)  # halving schedule
+
+    grad = jnp.asarray(rng.normal(size=(nt, 3)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, s.L, size=nt)])
+    stage, btilde = stage_tables(grad, u_old, levels, tau)
+    U_p, phi_p = build_tables_pallas(stage, btilde, jump, B, smax,
+                                     interpret=INTERPRET, raw_u=True)
+    U_r, phi_r = build_tables(stage, btilde, jump, B, smax)
+
+    us, idx = backtrack_pallas_trials(U_p, phi_p, btilde, levels, B_ks,
+                                      interpret=INTERPRET)
+    assert idx.shape == (len(B_ks), nt)
+    for t, Bn in enumerate(np.asarray(B_ks)):
+        u_ref, i_ref = backtrack(U_r, phi_r, btilde, levels, jnp.int32(Bn))
+        np.testing.assert_array_equal(np.asarray(idx[t]), np.asarray(i_ref))
+        np.testing.assert_array_equal(np.asarray(us[t]), np.asarray(u_ref))
+
+    # Multistart form: vmap over starts dispatches ONE trial-wave kernel.
+    grads = jnp.asarray(rng.normal(size=(S, nt, 3)))
+    u_olds = jnp.asarray(s.levels[rng.integers(0, s.L, size=(S, nt))])
+    stage_b, btilde_b = jax.vmap(stage_tables, in_axes=(0, 0, None, None))(
+        grads, u_olds, levels, tau)
+    U_b, phi_b = jax.vmap(
+        lambda st, bt: build_tables_pallas(st, bt, jump, B, smax,
+                                           interpret=INTERPRET, raw_u=True)
+    )(stage_b, btilde_b)
+    U_rb, phi_rb = jax.vmap(
+        lambda st, bt: build_tables(st, bt, jump, B, smax))(stage_b, btilde_b)
+
+    us_b, idx_b = jax.vmap(
+        lambda U, ph, bt: backtrack_pallas_trials(U, ph, bt, levels, B_ks,
+                                                  interpret=INTERPRET)
+    )(U_b, phi_b, btilde_b)
+    assert idx_b.shape == (S, len(B_ks), nt)
+    for si in range(S):
+        for t, Bn in enumerate(np.asarray(B_ks)):
+            _, i_ref = backtrack(U_rb[si], phi_rb[si], btilde_b[si], levels,
+                                 jnp.int32(Bn))
+            np.testing.assert_array_equal(np.asarray(idx_b[si, t]),
+                                          np.asarray(i_ref))
+
+
+def test_nested_vmap_backtrack_flattens_into_one_batch():
+    """A vmap-of-vmap of the fused backtrack (trials inside starts) flattens
+    into a single (S·K)-batched chase via the recursive custom_vmap rule —
+    results match the doubly-vmapped scan backtrack exactly."""
+    import jax
+
+    from mioc_tpu.ops.backtrack_pallas import backtrack_pallas
+    from mioc_tpu.ops.bellman import backtrack, build_tables, max_budget_use
+    from mioc_tpu.ops.bellman_pallas import build_tables_pallas
+
+    rng = np.random.default_rng(13)
+    s = product_levels([[-1, 0, 1]])
+    nt, B, tau, S = 130, 17, 0.1, 3
+    levels = jnp.asarray(s.levels)
+    jump = jnp.asarray(jump_cost_table(s.levels, p=1, beta=1e-3))
+    smax = max_budget_use(s.levels)
+    B_ks = jnp.asarray([17, 8, 4, 0], jnp.int32)
+
+    grads = jnp.asarray(rng.normal(size=(S, nt, 1)))
+    u_olds = jnp.asarray(s.levels[rng.integers(0, s.L, size=(S, nt))])
+    stage_b, btilde_b = jax.vmap(stage_tables, in_axes=(0, 0, None, None))(
+        grads, u_olds, levels, tau)
+    U_b, phi_b = jax.vmap(
+        lambda st, bt: build_tables_pallas(st, bt, jump, B, smax,
+                                           interpret=INTERPRET, raw_u=True)
+    )(stage_b, btilde_b)
+    U_rb, phi_rb = jax.vmap(
+        lambda st, bt: build_tables(st, bt, jump, B, smax))(stage_b, btilde_b)
+
+    inner_p = lambda U, ph, bt: jax.vmap(
+        lambda Bn: backtrack_pallas(U, ph, bt, levels, Bn,
+                                    interpret=INTERPRET)[1])(B_ks)
+    inner_s = lambda U, ph, bt: jax.vmap(
+        lambda Bn: backtrack(U, ph, bt, levels, Bn)[1])(B_ks)
+    idx_p = jax.vmap(inner_p)(U_b, phi_b, btilde_b)
+    idx_s = jax.vmap(inner_s)(U_rb, phi_rb, btilde_b)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_s))

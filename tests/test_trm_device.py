@@ -185,3 +185,42 @@ def test_speculative_halving_matches_sequential():
             np.testing.assert_allclose(
                 np.asarray(getattr(spec, field)),
                 np.asarray(getattr(seq, field)), rtol=J_RTOL, err_msg=field)
+
+
+def test_speculative_multistart_matches_sequential_multistart():
+    """Speculative trial waves composed with batched multistart (VERDICT r3
+    item 1): every start's accepted control, counters, and objective must
+    match the sequential-inner-loop multistart AND the per-start single
+    solves."""
+    obj = LVMObj(nt=200)
+    par = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)
+    S = 4
+    x0s = np.stack([rand_func(obj, seed=s) for s in range(S)])
+
+    seq = multistart_solve_device(obj, par, x0s, speculative=False)
+    spec = multistart_solve_device(obj, par, x0s, speculative=True)
+    np.testing.assert_array_equal(np.asarray(spec.u), np.asarray(seq.u))
+    np.testing.assert_array_equal(np.asarray(spec.x_final),
+                                  np.asarray(seq.x_final))
+    for field in ("converged", "iterations", "inner_steps", "f_evals",
+                  "df_evals", "dp_builds"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(spec, field)),
+            np.asarray(getattr(seq, field)), err_msg=field)
+    for field in ("J", "f", "tv"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(spec, field)),
+            np.asarray(getattr(seq, field)), rtol=J_RTOL, err_msg=field)
+
+    # Cross-check against independent single-start speculative solves.
+    for s in range(S):
+        one = trm_solve_device(LVMObj(nt=200), par, x0=x0s[s],
+                               speculative=True)
+        np.testing.assert_array_equal(np.asarray(spec.u[s]),
+                                      np.asarray(one.u))
+        assert int(spec.iterations[s]) == int(one.iterations)
+
+    # Segmented speculative multistart stays exact.
+    seg = multistart_solve_device(obj, par, x0s, speculative=True,
+                                  outer_chunk=4)
+    np.testing.assert_array_equal(np.asarray(seg.u), np.asarray(spec.u))
