@@ -56,7 +56,8 @@ _DEVICE_TRM_CACHE: dict = {}
 
 
 def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
-                    outer_chunk=None, speculative: bool = False):
+                    outer_chunk=None, speculative: bool = False,
+                    dp_backend: Optional[str] = None, mesh=None):
     """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
     parameters ``par`` (a TRMParameters).  The returned function contains the
     full TRM; vmap it for batched multistart — with ``use_pallas`` both fused
@@ -117,7 +118,39 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     jump_np = jump_cost_table(levels_np, p, beta=beta, compat_pinf=par.compat_pinf)
     if use_pallas is None:
         use_pallas = par.use_pallas if par.use_pallas is not None else pallas_supported()
-    if use_pallas:
+    if dp_backend == "sharded":
+        # Level-axis tensor parallelism INSIDE the device loop: the DP's
+        # min-plus contraction is partitioned over the mesh's ``level`` axis
+        # via shard_map (parallel/shard_dp.py — each device owns a block of
+        # successor columns, all_gather + first-minimal-shard combine), so
+        # the whole while_loop solve runs SPMD with one collective pair per
+        # backward time step.  Iterates are bit-identical to the unsharded
+        # scan backend (tie-breaks carry global j indices).  VERDICT r3
+        # item 4; SURVEY.md §2 parallelism item (iii).
+        use_pallas = False
+        from ..parallel.device_mesh import make_device_mesh
+        from ..parallel.shard_dp import build_tables_sharded, pad_level_axis
+
+        if mesh is None:  # default like trm.py: all devices on the level axis
+            mesh = make_device_mesh(batch=1, level=len(jax.devices()))
+
+        _D = mesh.shape["level"]
+        _Lpad = -(-adm.L // _D) * _D
+
+        def dp_build(stage, btilde, jump, B, smax):
+            U, phi0 = build_tables_sharded(stage, btilde, jump, B, smax, mesh)
+            btilde_p = pad_level_axis(stage, btilde, jump, _D, B)[1]
+            return U, phi0, btilde_p
+
+        dp_backtrack = backtrack
+
+        def _bt_levels(levels):
+            if _Lpad == adm.L:
+                return levels
+            return jnp.concatenate(
+                [levels,
+                 jnp.zeros((_Lpad - adm.L, levels.shape[1]), levels.dtype)])
+    elif use_pallas:
         # Raw (unsliced) padded tables flow straight from the fused build
         # into the fused chase kernels — XLA otherwise materializes a ~0.6
         # ms slice copy of U inside the TRM loop (profiled: slice.308 +
@@ -127,13 +160,19 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
         # per-step dispatches dominated the multistart iteration (~1.75 ms
         # × ~7 chases per outer iteration at ×32 fishing nt=1024).
         def dp_build(stage, btilde, jump, B, smax):
-            return build_tables_pallas(stage, btilde, jump, B, smax,
-                                       raw_u=True)
+            U, phi0 = build_tables_pallas(stage, btilde, jump, B, smax,
+                                          raw_u=True)
+            return U, phi0, btilde
 
         dp_backtrack = backtrack_pallas
+        _bt_levels = lambda levels: levels
     else:
-        dp_build = build_tables
+        def dp_build(stage, btilde, jump, B, smax):
+            U, phi0 = build_tables(stage, btilde, jump, B, smax)
+            return U, phi0, btilde
+
         dp_backtrack = backtrack
+        _bt_levels = lambda levels: levels
 
     # Objectives without a state cache (e.g. ConvObj) return aux None from the
     # forward sweep; the while-loop carry needs an array, so a dummy is
@@ -188,6 +227,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
 
     def run_outer(c0, it_hi, levels, jump, sweep_ops):
         fwd, adj = _fwd_adj(c0[0], sweep_ops)
+        levels_bt = _bt_levels(levels)
 
         # Outer carry:
         #   u_old, ys_old (state cache at u_old), J_old, TV_old, u_cand,
@@ -202,7 +242,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
             grad, _ = adj(u_old, ys_old)
             df_evals = df_evals + 1
             stage, btilde = stage_tables(grad, u_old, levels, dt)
-            U, phi0 = dp_build(stage, btilde, jump, B, smax)
+            U, phi0, btilde_bt = dp_build(stage, btilde, jump, B, smax)
             dp_builds = dp_builds + 1
 
             # One batched trial wave over the whole halving schedule.  On the
@@ -212,11 +252,12 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
             # broadcast lazily there).
             B_ks = jnp.asarray(_B_sched, jnp.int32)
             if use_pallas:
-                us, _ = backtrack_pallas_trials(U, phi0, btilde, levels, B_ks)
+                us, _ = backtrack_pallas_trials(U, phi0, btilde_bt, levels_bt,
+                                                B_ks)
             else:
                 us, _ = jax.vmap(dp_backtrack,
                                  in_axes=(None, None, None, None, 0))(
-                    U, phi0, btilde, levels, B_ks)
+                    U, phi0, btilde_bt, levels_bt, B_ks)
             int_vals = dt * jnp.sum(grad[None] * (u_old[None] - us),
                                     axis=(1, 2))
             TV_news = jax.vmap(lambda uu: _tv(uu, p))(us)
@@ -264,7 +305,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
             grad, _ = adj(u_old, ys_old)
             df_evals = df_evals + 1
             stage, btilde = stage_tables(grad, u_old, levels, dt)
-            U, phi0 = dp_build(stage, btilde, jump, B, smax)
+            U, phi0, btilde_bt = dp_build(stage, btilde, jump, B, smax)
             dp_builds = dp_builds + 1
 
             # Inner carry: k, delta, ared, pred, done, accepted state…
@@ -276,7 +317,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                 (k, delta, ared, pred, done, u_old, ys_old, J_old, TV_old,
                  u_cand, J_ret, stop, inner_total, f_evals) = t
                 B_k = jnp.floor(delta / dt).astype(jnp.int32)
-                u, _ = dp_backtrack(U, phi0, btilde, levels, B_k)
+                u, _ = dp_backtrack(U, phi0, btilde_bt, levels_bt, B_k)
                 int_val = dt * jnp.sum(grad * (u_old - u))
                 TV_new = _tv(u, p)
                 J_new, ys_new = fwd(u)
@@ -347,9 +388,14 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
 
     from ..objectives.ode import _params_key
 
+    mesh_sig = None
+    if mesh is not None:
+        mesh_sig = (tuple(mesh.axis_names), tuple(mesh.shape.items()),
+                    tuple(d.id for d in mesh.devices.flat))
     cache_key = (
         type(obj), _params_key(obj), beta, sigma, p, kmax, maxiter, delta0,
         bool(par.compat_pinf), bool(use_pallas), bool(speculative),
+        dp_backend, mesh_sig,
     )
     jits = _DEVICE_TRM_CACHE.get(cache_key)
     if jits is None:
@@ -442,7 +488,8 @@ def _segmented_loop(outer_jit, c, operands, outer_chunk, maxiter, read_state,
 def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
                      use_pallas: Optional[bool] = None,
                      outer_chunk="auto", progress=None,
-                     speculative: Optional[bool] = None):
+                     speculative: Optional[bool] = None,
+                     dp_backend: Optional[str] = None, mesh=None):
     """One device-resident TRM solve; returns a host-side summary dict plus
     the accepted control (single readback at the end — or one two-scalar
     readback per ``outer_chunk`` iterations when segmenting).
@@ -481,8 +528,13 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
         x0 = rand_func(obj, seed=seed)
     if speculative is None:
         speculative = bool(getattr(obj, "_batched_sweeps_bitexact", False))
+    if dp_backend is None and getattr(par, "dp_backend", None) == "sharded":
+        # Honor the host-loop parameter spelling (TRMParameters.dp_backend)
+        # so --dp-backend sharded reaches the device loop too.
+        dp_backend, mesh = "sharded", mesh if mesh is not None else par.mesh
     run = make_device_trm(obj, par, use_pallas=use_pallas,
-                          outer_chunk=outer_chunk, speculative=speculative)
+                          outer_chunk=outer_chunk, speculative=speculative,
+                          dp_backend=dp_backend, mesh=mesh)
     on_segment = None
     if par.checkpoint_path and outer_chunk:
         from ..utils.io import save_checkpoint

@@ -344,3 +344,60 @@ def test_temporal_dp_with_sharded_time_axis():
     u_old_s = jax.device_put(u_old, sh_t)
     u_s, idx_s, _ = temporal_dp_solve(grad_s, u_old_s, levels, jump, tau, B)
     np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_ref))
+
+
+def test_device_trm_sharded_dp_backend_heat():
+    """Level sharding INSIDE the device-resident TRM (VERDICT r3 item 4):
+    ``trm_solve_device(dp_backend="sharded")`` runs the whole while_loop
+    solve SPMD with the DP contraction partitioned over the mesh's ``level``
+    axis — iterates bit-identical to the unsharded device loop, on the heat
+    L=36 level set (padded to 40 on 8 devices)."""
+    from mioc_tpu.models.heat import HeatObj, construct_mesh
+    from mioc_tpu.solvers.trm import TRMParameters
+    from mioc_tpu.solvers.trm_device import trm_solve_device
+
+    mesh_fem = construct_mesh(refinements=1)
+    mesh = make_device_mesh(batch=1, level=jax.device_count())
+    par = TRMParameters(beta=1e-3, p=2, delta0=2.0, maxiter=10)
+
+    ref = trm_solve_device(HeatObj(nt=16, mesh=mesh_fem), par, seed=0,
+                           use_pallas=False, outer_chunk=None)
+    sh = trm_solve_device(HeatObj(nt=16, mesh=mesh_fem), par, seed=0,
+                          dp_backend="sharded", mesh=mesh, outer_chunk=None)
+    np.testing.assert_array_equal(np.asarray(sh.u), np.asarray(ref.u))
+    np.testing.assert_array_equal(np.asarray(sh.x_final),
+                                  np.asarray(ref.x_final))
+    for field in ("converged", "iterations", "inner_steps", "f_evals",
+                  "df_evals", "dp_builds"):
+        assert np.asarray(getattr(sh, field)) == np.asarray(
+            getattr(ref, field)), field
+    np.testing.assert_allclose(float(sh.J), float(ref.J), rtol=1e-12)
+
+    # Segmented sharded device solve stays exact (the carry is replicated;
+    # only two scalars cross to host per segment).
+    seg = trm_solve_device(HeatObj(nt=16, mesh=mesh_fem), par, seed=0,
+                           dp_backend="sharded", mesh=mesh, outer_chunk=4)
+    np.testing.assert_array_equal(np.asarray(seg.u), np.asarray(sh.u))
+
+
+def test_device_trm_sharded_dp_speculative_ode():
+    """Speculative trial waves compose with the sharded-DP device loop (the
+    wave's vmapped backtrack runs on the padded replicated tables)."""
+    from mioc_tpu.models import LVMObj
+    from mioc_tpu.solvers.trm import TRMParameters
+    from mioc_tpu.solvers.trm_device import trm_solve_device
+    from mioc_tpu.utils.init import rand_func
+
+    mesh = make_device_mesh(batch=1, level=4)
+    par = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)
+    x0 = rand_func(LVMObj(nt=96), seed=2)
+
+    ref = trm_solve_device(LVMObj(nt=96), par, x0=x0, use_pallas=False,
+                           outer_chunk=None)
+    for spec in (False, True):
+        sh = trm_solve_device(LVMObj(nt=96), par, x0=x0,
+                              dp_backend="sharded", mesh=mesh,
+                              speculative=spec, outer_chunk=None)
+        np.testing.assert_array_equal(np.asarray(sh.u), np.asarray(ref.u))
+        assert int(sh.iterations) == int(ref.iterations)
+        assert int(sh.inner_steps) == int(ref.inner_steps)
