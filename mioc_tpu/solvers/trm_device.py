@@ -561,7 +561,8 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
 
 def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
                             outer_chunk=None, progress=None,
-                            speculative: Optional[bool] = None):
+                            speculative: Optional[bool] = None,
+                            dp_backend: Optional[str] = None):
     """Batched multistart: vmap the device TRM over ``x0s (S, nt, nx)``;
     every start runs its own accept/halve schedule in lockstep hardware.
     Returns the vmapped DeviceTRMResult (one readback).  The fused Pallas DP
@@ -580,7 +581,11 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     single-solve fishing TRM from 36 to 151 iters/s (BASELINE_SELF.md).
 
     With a device ``mesh`` the start axis is sharded over its ``batch`` axis
-    (scenario data parallelism across chips).
+    (scenario data parallelism across chips).  ``dp_backend="sharded"``
+    additionally partitions each start's DP contraction over the mesh's
+    ``level`` axis (shard_map inside the vmapped solve) — the combined
+    batch × level form: starts data-parallel across batch groups, the hard
+    L axis tensor-parallel within each group.
 
     ``outer_chunk`` (int or ``"auto"``) segments the batched solve into
     bounded dispatches like :func:`make_device_trm` — a segment ends when
@@ -601,10 +606,12 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     if speculative is None:
         speculative = bool(getattr(obj, "_batched_sweeps_bitexact", False))
     run = make_device_trm(obj, par, use_pallas=use_pallas,
-                          speculative=speculative)
+                          speculative=speculative,
+                          dp_backend=dp_backend, mesh=mesh)
     levels, jump, sweep_ops = run.operands
     x0s = jnp.asarray(x0s, dtype=levels.dtype)
 
+    multiproc = False
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -613,10 +620,20 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
         ops_sh = jax.tree_util.tree_map(lambda _: rep, sweep_ops)
         mesh_key = (tuple(mesh.axis_names), tuple(mesh.shape.items()),
                     tuple(d.id for d in mesh.devices.flat))
+        # On a mesh spanning processes (jax.distributed DCN cluster) the
+        # batch-sharded outputs are not fully addressable here — return the
+        # global on-device result; callers inspect .addressable_shards.
+        multiproc = any(d.process_index != jax.process_index()
+                        for d in mesh.devices.flat)
     else:
         sh = rep = ops_sh = mesh_key = None
 
     jits = run.jits
+    if multiproc and outer_chunk:
+        raise ValueError(
+            "outer_chunk segmenting reads per-start stop flags back to the "
+            "host, which requires fully-addressable shards — not available "
+            "on a mesh spanning processes; use outer_chunk=None")
     if not outer_chunk:
         key = ("vsolve", mesh_key)
         if key not in jits:
@@ -628,7 +645,8 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
             else:
                 vm = jax.jit(vm)
             jits[key] = vm
-        return jax.device_get(jits[key](x0s, levels, jump, sweep_ops))
+        out = jits[key](x0s, levels, jump, sweep_ops)
+        return out if multiproc else jax.device_get(out)
 
     init_f, outer_f, final_f = run.pieces
     key = ("vpieces", mesh_key)

@@ -71,6 +71,46 @@ def main():
         np.testing.assert_allclose(np.asarray(shard.data), J_ref[shard.index],
                                    rtol=1e-12)
 
+    if nproc >= 4:
+        # Combined batch × level mesh whose LEVEL axis crosses a process
+        # boundary (devices [[0,1],[2,3]] → level pairs (0,1)/(2,3) span
+        # processes 0-1 / 2-3), running a COMPLETE multistart TRM solve:
+        # starts data-parallel over `batch`, every DP contraction
+        # tensor-parallel over `level` with all_gathers riding the DCN
+        # cluster (VERDICT r3 item 5).
+        from mioc_tpu.solvers.trm import TRMParameters
+        from mioc_tpu.solvers.trm_device import (
+            make_device_trm,
+            multistart_solve_device,
+        )
+
+        par = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0, maxiter=8)
+        S = 4
+        x0s = np.stack([rand_func(obj, seed=100 + s) for s in range(S)])
+
+        # Single-process unsharded reference solve on this process's device.
+        run_ref = make_device_trm(obj, par, use_pallas=False)
+        lv, jc, ops = run_ref.operands
+        ref = jax.device_get(
+            jax.vmap(run_ref.raw, in_axes=(0, None, None, None))(
+                jnp.asarray(x0s), lv, jc, ops))
+
+        mesh_bl = make_device_mesh(batch=2, level=nproc // 2)
+        res = multistart_solve_device(obj, par, x0s, mesh=mesh_bl,
+                                      dp_backend="sharded")
+        for shard in res.u.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(shard.data),
+                                          np.asarray(ref.u)[shard.index])
+        for shard in res.iterations.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(shard.data),
+                                          np.asarray(ref.iterations)[shard.index])
+        # Cross-process collective over the solved objectives.
+        J_tot = float(jax.jit(jnp.sum)(res.J))
+        np.testing.assert_allclose(J_tot, float(np.sum(np.asarray(ref.J))),
+                                   rtol=1e-12)
+        print(f"multihost worker {pid}/{nproc} combined-mesh full solve OK",
+              flush=True)
+
     print(f"multihost worker {pid}/{nproc} OK", flush=True)
 
 
