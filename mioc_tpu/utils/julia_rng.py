@@ -380,14 +380,55 @@ class JuliaMersenneTwister:
             out.append(pool[i + s])
         return out
 
+    def seqsample_c(self, pool: Sequence, k: int) -> list:
+        """StatsBase ``seqsample_c!`` (Algorithm C of Vitter, "Faster methods
+        for random sampling", CACM 27(7) 1984, p. 715): ordered sample of k
+        items without replacement.
+
+        Per output item the skip ``s`` to the next selected element is drawn
+        as ``⌊min(l, min_{u=l..N} u·Uᵤ)⌋ + 1`` with ``l = N − n + 1`` and the
+        uniforms consumed for ``u = N, N−1, …, l`` in that order — the
+        capped running minimum of ``u·Uᵤ`` has ``P(min > s) =
+        ∏_{u=l}^{N} (u−s)/u``, exactly the ordered-sampling skip law
+        ``P(S > s) = ∏_{j=0}^{n−1} (N−j−s)/(N−j)``.  The last item is a
+        single uniform index over the remainder.  Draw order and update
+        structure follow StatsBase's implementation (``sampling.jl``
+        ``seqsample_c!``), so the consumed stream matches Julia's for the
+        ``n > 10k²`` regime that selects this algorithm."""
+        n = len(pool)
+        if k > n:
+            raise ValueError("cannot draw more samples than the pool size")
+        out = []
+        i = 0  # 0-based count of consumed pool prefix
+        kk, N = k, n
+        while kk > 1:
+            l = N - kk + 1
+            minv = float(l)
+            u = N
+            while u >= l:
+                v = u * self.rand()
+                if v < minv:
+                    minv = v
+                u -= 1
+            s = int(minv) + 1  # trunc toward zero; minv ∈ [0, l)
+            i += s
+            out.append(pool[i - 1])
+            N -= s
+            kk -= 1
+        if kk > 0:
+            s = int(N * self.rand())
+            out.append(pool[i + s])
+        return out
+
     def sample_ordered(self, pool: Sequence, k: int) -> list:
         """StatsBase ``sample(r, pool, k; replace=false, ordered=true)``.
 
         StatsBase selects Vitter's Algorithm A for ``n ≤ 10k²`` — the regime
         every reference default hits (``jumps = nt ÷ 10`` gives
-        ``n = nt−1 ≤ nt²/10`` for all ``nt ≥ 11``), and the regime in which
-        this sampler is bit-exact.  For ``n > 10k²`` (user-supplied tiny
-        ``jumps``) StatsBase switches to its Algorithm-C variant; that branch
-        is not transcribed here, so we fall back to Algorithm A and the draw
-        is a correct ordered sample but not stream-identical to Julia's."""
+        ``n = nt−1 ≤ nt²/10`` for all ``nt ≥ 11``) — and the Algorithm-C
+        sampler above for ``n > 10k²`` (user-supplied tiny ``jumps``),
+        mirroring ``StatsBase.sampling.jl``'s branch."""
+        n = len(pool)
+        if n > 10 * k * k:
+            return self.seqsample_c(pool, k)
         return self.seqsample_a(pool, k)

@@ -179,3 +179,91 @@ def test_rand_func_julia_stream_combined():
     assert x0.shape == (100, obj.nx)
     with pytest.raises(ValueError):
         rand_func(obj, julia_stream=True)  # seed is mandatory in parity mode
+
+
+# ------------------------------------------------- seqsample_c (Algorithm C)
+
+class _ScriptedRNG(JuliaMersenneTwister):
+    """Pops uniforms from a supplied list — pins the CONSUMPTION ORDER of
+    the sampler against an independent evaluation of the published
+    recurrence."""
+
+    def __init__(self, vals):
+        self._vals = list(vals)
+        self.consumed = 0
+
+    def rand(self):
+        self.consumed += 1
+        return self._vals.pop(0)
+
+
+def _algorithm_c_reference(uniforms, n, k):
+    """Independent evaluation of Vitter's Algorithm C skip law: per item,
+    s = floor(min(l, min_{u=l..N} u*U_u)) + 1 with uniforms consumed for
+    u = N..l, then one uniform for the final index."""
+    vals = list(uniforms)
+    idx = []
+    i, N, kk = 0, n, k
+    while kk > 1:
+        l = N - kk + 1
+        cand = [u * vals.pop(0) for u in range(N, l - 1, -1)]
+        s = int(min([float(l)] + cand)) + 1
+        i += s
+        idx.append(i - 1)
+        N -= s
+        kk -= 1
+    if kk > 0:
+        idx.append(i + int(N * vals.pop(0)))
+    return idx
+
+
+def test_seqsample_c_matches_published_recurrence():
+    """Scripted-uniform drive: the sampler's selections and its draw count
+    (k(k+1)/2 − ... pattern) match an independent implementation of the
+    published Algorithm-C recurrence on the same stream."""
+    rng = np.random.default_rng(7)
+    for n, k in [(50, 2), (200, 4), (1000, 3), (41, 1)]:
+        us = rng.random(5 * k * k + 5).tolist()
+        r = _ScriptedRNG(us)
+        got = r.seqsample_c(list(range(n)), k)
+        want = [list(range(n))[j] for j in _algorithm_c_reference(us, n, k)]
+        assert got == want, (n, k)
+        # Draws: n_i uniforms per item while kk > 1, plus one final.
+        expected = sum(range(2, k + 1)) + (1 if k >= 1 else 0)
+        assert r.consumed == expected, (n, k, r.consumed)
+
+
+def test_seqsample_c_is_uniform_over_subsets():
+    """Exact-distribution check: over many draws from the live Julia stream,
+    every C(8,2)=28 ordered pair is hit with the uniform frequency (χ² well
+    inside the 99.9% bound — the skip law is exact, so this guards coding
+    slips, not approximation)."""
+    import itertools
+
+    pool = list(range(8))
+    counts = {c: 0 for c in itertools.combinations(pool, 2)}
+    r = JuliaMersenneTwister(123)
+    trials = 28 * 400
+    for _ in range(trials):
+        s = tuple(r.seqsample_c(pool, 2))
+        assert s[0] < s[1]  # ordered, without replacement
+        counts[s] += 1
+    exp = trials / 28
+    chi2 = sum((c - exp) ** 2 / exp for c in counts.values())
+    # 27 dof, 99.9% quantile ≈ 55.5
+    assert chi2 < 55.5, chi2
+
+
+def test_sample_ordered_branches_like_statsbase():
+    """sample(..., ordered=true) picks Algorithm C for n > 10k² and
+    Algorithm A otherwise, mirroring StatsBase's dispatch."""
+    pool = list(range(1000))
+    a = JuliaMersenneTwister(5).sample_ordered(pool, 3)       # 1000 > 90 → C
+    c = JuliaMersenneTwister(5).seqsample_c(pool, 3)
+    assert a == c
+    small = list(range(50))
+    a2 = JuliaMersenneTwister(5).sample_ordered(small, 3)     # 50 ≤ 90 → A
+    a3 = JuliaMersenneTwister(5).seqsample_a(small, 3)
+    assert a2 == a3
+    for s in (a, a2):
+        assert s == sorted(set(s)) and len(s) == 3
