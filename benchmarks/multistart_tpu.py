@@ -29,14 +29,15 @@ from mioc_tpu.solvers.trm_device import multistart_solve_device
 from mioc_tpu.utils.init import rand_func
 
 
-def measure(obj, par, x0s, use_pallas, reps=3, outer_chunk=None):
-    res = multistart_solve_device(obj, par, x0s, use_pallas=use_pallas,
-                                  outer_chunk=outer_chunk)  # compile
+def measure(obj, par, x0s, use_pallas, reps=3, outer_chunk=None,
+            speculative=False):
+    kw = dict(use_pallas=use_pallas, outer_chunk=outer_chunk,
+              speculative=speculative)
+    res = multistart_solve_device(obj, par, x0s, **kw)  # compile
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = multistart_solve_device(obj, par, x0s, use_pallas=use_pallas,
-                                      outer_chunk=outer_chunk)
+        res = multistart_solve_device(obj, par, x0s, **kw)
         best = min(best, time.perf_counter() - t0)
     return best, res
 
@@ -69,6 +70,21 @@ def main():
     match = np.array_equal(np.asarray(r_scan.u), np.asarray(r_pal.u))
     print(f"controls bit-match: {match}")
     print(f"speedup pallas/scan: {t_scan / t_pal:.2f}x")
+
+    # Round 4: speculative trial waves composed with the batched multistart
+    # (one trial-wave chase kernel + (S, K)-batched trial sweeps per outer
+    # iteration) — the default production path when the objective's batched
+    # sweeps are bit-stable.
+    t_spec, r_spec = measure(obj, par, x0s, use_pallas=True,
+                             outer_chunk=outer_chunk, speculative=True)
+    print(f"pallas+spec wave: {t_spec:.3f} s total, "
+          f"{1e3 * t_spec / S:.1f} ms/solve, "
+          f"{int(np.sum(r_spec.converged))}/{S} converged, "
+          f"best J={float(np.min(r_spec.J)):.6f}")
+    match_s = np.array_equal(np.asarray(r_spec.u), np.asarray(r_pal.u))
+    print(f"speculative controls bit-match sequential: {match_s}")
+    print(f"speedup spec/sequential-pallas: {t_pal / t_spec:.2f}x; "
+          f"spec/scan: {t_scan / t_spec:.2f}x")
 
 
 if __name__ == "__main__":

@@ -157,6 +157,17 @@ class HeatObj(PDEObjective):
             mg_meshes=self._mesh_hierarchy, mg_fe=self.fe, fmt=sparse_format,
         )
 
+    @property
+    def _batched_sweeps_bitexact(self):
+        # Dense mode evaluates the forward sweep through an explicit K ≥ 2
+        # batch (PDEObjective.forward_batch — per-row MXU bits are invariant
+        # across batch sizes on TPU) and the scalar decision reductions
+        # through fold trees (ops/detred.py), so the speculative trial
+        # wave's evaluations bit-match the sequential device loop — the wave
+        # defaults ON.  The cg/mg sparse engines keep native matvecs and
+        # stay opt-in.
+        return getattr(self, "solver_mode", "dense") == "dense"
+
     def _mass_apply(self, v):
         if getattr(self, "solver_mode", "dense") == "dense":
             return self._Mj @ v
@@ -168,7 +179,9 @@ class HeatObj(PDEObjective):
 
         return ell_matvec(self._Mjv, self._Mjc, v)
 
-    # Costs (example_heat.jl:135-161).
+    # Costs (example_heat.jl:135-161).  Called only under a ≥ 501-point
+    # time-vmap (forward) or per-step in the unbatched adjoint, so the MXU
+    # forms stay batch-shape-consistent between solver modes.
     def G(self, y, u, i):
         v = y - self.yd
         return 0.5 * v @ self._mass_apply(v)

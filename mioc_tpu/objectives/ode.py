@@ -63,7 +63,7 @@ _SWEEP_CACHE: dict = {}
 _NONPARAM_FIELDS = {
     "x", "state", "adjoint", "df", "f", "df_valid", "f_evals", "df_evals",
     "fdf_evals", "V", "admissible", "_aux", "_forward", "_adjoint",
-    "_forward_ops", "_adjoint_ops", "mesh", "fe",
+    "_forward_ops", "_adjoint_ops", "_forward_batch_ops", "mesh", "fe",
 }
 
 

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..ops.detred import detsum
 from .base import LazyObjective
 
 __all__ = ["PDEObjective"]
@@ -275,7 +276,8 @@ class PDEObjective(LazyObjective):
         key = ("pde", type(self), _params_key(self))
         cached = _SWEEP_CACHE.get(key)
         if cached is not None:
-            self._forward_ops, self._adjoint_ops = cached
+            (self._forward_ops, self._adjoint_ops,
+             self._forward_batch_ops) = cached
             return
 
         tau, nt = self.tau, self.nt
@@ -323,6 +325,43 @@ class PDEObjective(LazyObjective):
         # — trace them at full-f32 MXU precision.  Measured error without
         # this: ~1e-3 relative on the heat objective (TPU_TESTS_r02.md);
         # the matrices are small, so the cost is negligible.
+        # Dense-mode forwards are BATCH-SHAPED even for a single control:
+        # on TPU an MXU matmul's per-row f32 bits are invariant across batch
+        # sizes K ≥ 2 (zero-padding included) but the K=1 matvec lowering
+        # differs (v5e probe, benchmarks/pde_batch_bitexact.py round 4), so
+        # evaluating the single sweep as a duplicated 2-row batch makes the
+        # speculative trial wave's K-row sweeps bit-match it lane for lane —
+        # at MXU speed (the fold-tree matvec alternative measured 8× slower
+        # end-to-end).  Scalar reductions (trapezoid, TV, pred) still run
+        # through detsum fold trees: they are cheap and stable at ANY batch.
+        @jax.jit
+        def forward_batch(xs, ops):  # xs (K, nt, nx), K ≥ 2
+            with self._bound(ops), jax.default_matmul_precision("highest"):
+                M_invF = ops["M_invF"]
+                Sinv = ops["Sinv"]
+                Kb = xs.shape[0]
+                N = self.Nglobal_dofs
+                y0 = jnp.broadcast_to(jnp.asarray(self.state0)[None], (Kb, N))
+
+                def step(ys, us_t):  # ys (K, N), us_t (K, nx)
+                    ynew = (ys + tau * (us_t @ M_invF.T)) @ Sinv.T
+                    return ynew, ynew
+
+                _, ys = lax.scan(step, y0, xs.transpose(1, 0, 2))
+                ys_all = jnp.concatenate([y0[None], ys])        # (nt+1, K, N)
+                ys_all = ys_all.transpose(1, 0, 2)              # (K, nt+1, N)
+
+                u_idx = jnp.minimum(jnp.arange(nt + 1), nt - 1)
+                uu = xs[:, u_idx]                               # (K, nt+1, nx)
+                t_idx = jnp.tile(jnp.arange(nt + 1), Kb)
+                gvals = jax.vmap(
+                    lambda y, u_, t_: self.G(y, u_, t_) + self.G_t(u_, t_)
+                )(ys_all.reshape(Kb * (nt + 1), N),
+                  uu.reshape(Kb * (nt + 1), self.nx),
+                  t_idx).reshape(Kb, nt + 1)
+                w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
+                return tau * detsum(w[None] * gvals, axis=-1), ys_all
+
         @jax.jit
         def forward(x, ops):
             with self._bound(ops), jax.default_matmul_precision("highest"):
@@ -337,11 +376,9 @@ class PDEObjective(LazyObjective):
                         ynew = cg_solve(Kmv, rhs, y, pc, cg_iters)
                         return ynew, ynew
                 else:
-                    Sinv = ops["Sinv"]
-
-                    def step(y, u):
-                        ynew = Sinv @ (y + tau * (M_invF @ u))
-                        return ynew, ynew
+                    # Route through the 2-row batch (see forward_batch note).
+                    fvals, ys_b = forward_batch(jnp.stack([x, x]), ops)
+                    return fvals[0], ys_b[0]
 
                 _, ys = lax.scan(step, jnp.asarray(self.state0), x)
                 ys_all = jnp.concatenate([self.state0[None], ys])  # (nt+1, N)
@@ -351,7 +388,7 @@ class PDEObjective(LazyObjective):
                     lambda y, ui, ti: self.G(y, x[ui], ti) + self.G_t(x[ui], ti)
                 )(ys_all, u_idx, jnp.arange(nt + 1))
                 w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
-                return tau * jnp.sum(w * gvals), ys_all
+                return tau * detsum(w * gvals, axis=-1), ys_all
 
         @jax.jit
         def adjoint(x, ys_all, ops):
@@ -373,6 +410,10 @@ class PDEObjective(LazyObjective):
 
                     bstep_init = (lamT, lamT)
                 else:
+                    # Single-shape MXU sweep: the adjoint runs UNBATCHED in
+                    # both the sequential and the speculative device loops
+                    # (one gradient per outer iteration), so mode-consistency
+                    # needs no batch-shape alignment here.
                     SinvT = ops["Sinv"].T
 
                     def bstep(lam, xs):
@@ -417,7 +458,8 @@ class PDEObjective(LazyObjective):
 
         self._forward_ops = forward
         self._adjoint_ops = adjoint
-        _SWEEP_CACHE[key] = (forward, adjoint)
+        self._forward_batch_ops = forward_batch if not cg_mode else None
+        _SWEEP_CACHE[key] = (forward, adjoint, self._forward_batch_ops)
 
     # Uniform sweep API used by solvers/parallel code.
     def _forward(self, x):
@@ -431,6 +473,15 @@ class PDEObjective(LazyObjective):
 
     def _forward_with(self, x, ops):
         return self._forward_ops(x, ops)
+
+    def _forward_batch_with(self, xs, ops):
+        """Batched forward sweep ``xs (K, nt, nx) → (fvals (K,), ys (K, …))``
+        whose per-row bits equal :meth:`_forward_with` on the same control
+        (dense mode; the speculative trial wave's evaluation path).  ``None``
+        in cg/mg modes — callers fall back to ``jax.vmap``."""
+        if self._forward_batch_ops is None:
+            return None
+        return self._forward_batch_ops(xs, ops)
 
     def _adjoint_with(self, x, aux, ops):
         return self._adjoint_ops(x, aux, ops)

@@ -49,16 +49,7 @@ def _bt_kernel(
     *,
     nt: int,
     K: int,
-    L: int,
 ):
-    """Pointer chase with VECTOR-RESIDENT state: ``(l, b)`` live as (1, 1)
-    vregs for the whole sweep.  The round-3 version carried them as scalars
-    — a dynamic-sublane slice on ``l`` plus two full vector→scalar reductions
-    per step, i.e. two vector-unit→scalar-unit crossings ON the chase's
-    dependency chain every step (the chase measured 513.8 µs at conv
-    nt=2048, MORE than the 406 µs build it follows).  Here the row select is
-    ``L`` statically-unrolled (1, 1)-broadcast selects and both lookups are
-    lane reductions with ``keepdims`` — the chain never leaves the VPU."""
     Lp, Bp = phi0_ref.shape
     nsteps = nt - 1
     nchunks = -(-nsteps // K)
@@ -69,9 +60,9 @@ def _bt_kernel(
 
     # Seed argmin, reference order: linear index l*Bp + b, b fastest within l.
     masked = jnp.where(b_lane <= bnew_ref[0, 0], phi0_ref[:], _INF)
-    mval = jnp.min(masked, keepdims=True)              # (1, 1)
+    mval = jnp.min(masked)
     lin = jnp.where(masked == mval, l_sub * Bp + b_lane, _BIG)
-    pick = jnp.min(lin, keepdims=True)                 # (1, 1)
+    pick = jnp.min(lin)
     l0 = pick // Bp
     b0 = pick - l0 * Bp
     idx_buf_ref[:] = jnp.where(t128 == 0, l0, jnp.zeros((1, 128), jnp.int32))
@@ -88,7 +79,7 @@ def _bt_kernel(
         start_chunk(1)
 
     def step(k, carry):
-        l, b = carry  # (1, 1) i32 vregs
+        l, b = carry
         chunk = k // K
         row = k - chunk * K
         slot = jax.lax.rem(chunk, 2)
@@ -99,16 +90,17 @@ def _bt_kernel(
                 U_hbm_ref.at[pl.ds(chunk * K, K)], u_buf_ref.at[slot], sem.at[slot]
             ).wait()
 
-        plane = u_buf_ref[slot, row]                   # (Lp, Bp)
-        rowv = jnp.where(l == 0, plane[0:1, :], 0)     # (1, Bp)
-        for j in range(1, L):
-            rowv = jnp.where(l == j, plane[j:j + 1, :], rowv)
-        l_next = jnp.max(jnp.where(lane_row == b, rowv, 0),
-                         axis=1, keepdims=True)        # (1, 1)
+        # Dynamic LANE extraction is not allowed on TPU, but dynamic SUBLANE
+        # slicing is (probed on-chip, round 3): pull row l of the plane with
+        # a dynamic slice, then select lane b with a (1, Bp) masked reduce —
+        # ~5 small vector ops vs the full-plane (Lp, Bp) masked reduction
+        # this replaced (the chase measured 507 µs at conv nt=2048, MORE
+        # than the 406 µs DP build it follows).
+        row_vec = u_buf_ref[slot, row, pl.ds(l, 1)]  # (1, Bp)
+        l_next = jnp.max(jnp.where(lane_row == b, row_vec, 0))
         bt_row = btilde_ref[pl.ds(k, 1), :]  # (1, L) — btilde may be unpadded
         bt_iota = jax.lax.broadcasted_iota(jnp.int32, bt_row.shape, 1)
-        bt_l = jnp.max(jnp.where(bt_iota == l, bt_row, 0),
-                       axis=1, keepdims=True)          # (1, 1)
+        bt_l = jnp.max(jnp.where(bt_iota == l, bt_row, 0))
         b_next = b - bt_l  # decrement AFTER lookup
 
         # Stage idx[k+1] into the 128-wide buffer; flush a full chunk slice
@@ -520,7 +512,7 @@ def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
 
     bnew = jnp.asarray(B_new, jnp.int32).reshape(1, 1)
     ntp = -(-nt // 128) * 128
-    kernel = functools.partial(_bt_kernel, nt=nt, K=K, L=btilde.shape[1])
+    kernel = functools.partial(_bt_kernel, nt=nt, K=K)
     idx = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, ntp), jnp.int32),

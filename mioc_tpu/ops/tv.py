@@ -11,15 +11,20 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .detred import detsum
+
 __all__ = ["tv_p"]
 
 
 @partial(jax.jit, static_argnames=("p",))
 def _tv(u, p: float):
+    # Reductions run through batch-invariant fold trees (ops/detred.py) so a
+    # vmapped TV (the speculative trial wave) bit-matches the sequential
+    # evaluation per lane — a native lane-sum does not on TPU.
     d = jnp.abs(u[1:] - u[:-1])  # (nt-1, M)
     if p == float("inf"):
-        return d.max(axis=-1).sum()
-    return ((d**p).sum(axis=-1) ** (1.0 / p)).sum()
+        return detsum(d.max(axis=-1), axis=-1)
+    return detsum(detsum(d**p, axis=-1) ** (1.0 / p), axis=-1)
 
 
 def tv_p(u, p) -> jnp.ndarray:

@@ -52,7 +52,12 @@ __all__ = ["TRMParameters", "TRMResult", "trm_solve", "TRM"]
 # the axon TPU runtime permanently (BASELINE_SELF.md).
 @jax.jit
 def _inner_product(grad, a, b):
-    return jnp.sum(grad * (a - b))
+    # Batch-invariant fold-tree reduction (ops/detred.py): keeps the host
+    # loop's pred bit-identical to the device loops', whose speculative
+    # trial waves evaluate the same quantity vmapped.
+    from ..ops.detred import detsum_all
+
+    return detsum_all(grad * (a - b))
 
 
 @jax.jit

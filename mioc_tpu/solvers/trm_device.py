@@ -26,6 +26,7 @@ import numpy as np
 
 from ..ops.backtrack_pallas import backtrack_pallas, backtrack_pallas_trials
 from ..ops.bellman import backtrack, build_tables, max_budget_use, stage_tables
+from ..ops.detred import detsum_all
 from ..ops.bellman_pallas import build_tables_pallas, pallas_supported
 from ..ops.levels import jump_cost_table
 from ..ops.tv import _tv
@@ -185,6 +186,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     _ys_is_none = jax.eval_shape(
         lambda u, ops: obj._forward_with(u, ops), _u_spec, _sweep_ops0
     )[1] is None
+    _has_fwd_batch = getattr(obj, "_forward_batch_ops", None) is not None
 
     def _fwd_adj(x0, sweep_ops):
         forward = lambda u: obj._forward_with(u, sweep_ops)
@@ -258,10 +260,16 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                 us, _ = jax.vmap(dp_backtrack,
                                  in_axes=(None, None, None, None, 0))(
                     U, phi0, btilde_bt, levels_bt, B_ks)
-            int_vals = dt * jnp.sum(grad[None] * (u_old[None] - us),
-                                    axis=(1, 2))
+            int_vals = dt * jax.vmap(
+                lambda uu: detsum_all(grad * (u_old - uu)))(us)
             TV_news = jax.vmap(lambda uu: _tv(uu, p))(us)
-            J_news, ys_news = jax.vmap(fwd)(us)
+            if _has_fwd_batch and K_spec >= 2:
+                # Batch-shaped forward (PDE dense mode): per-row bits equal
+                # the sequential loop's single evaluation, which itself runs
+                # as a duplicated 2-row batch — see objectives/pde.py.
+                J_news, ys_news = obj._forward_batch_with(us, sweep_ops)
+            else:
+                J_news, ys_news = jax.vmap(fwd)(us)
 
             pred_k = int_vals + beta * (TV_old - TV_news)
             ared_k = jnp.where(
@@ -318,7 +326,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                  u_cand, J_ret, stop, inner_total, f_evals) = t
                 B_k = jnp.floor(delta / dt).astype(jnp.int32)
                 u, _ = dp_backtrack(U, phi0, btilde_bt, levels_bt, B_k)
-                int_val = dt * jnp.sum(grad * (u_old - u))
+                int_val = dt * detsum_all(grad * (u_old - u))
                 TV_new = _tv(u, p)
                 J_new, ys_new = fwd(u)
                 f_evals = f_evals + 1
@@ -510,13 +518,18 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
     batched trial wave per outer iteration instead of a sequential inner
     loop — identical iterates and sequential-equivalent counters (see
     :func:`make_device_trm`).  Default (``None``): enabled when the
-    objective declares its batched sweeps bit-exact per lane
-    (``_batched_sweeps_bitexact`` — true for elementwise-scan ODE sweeps,
-    where it measures 2.9× at fishing nt=1024 on v5e), disabled for
-    matmul-bearing sweeps (PDE, convolution) whose vmapped form changes f32
-    accumulation order: still exact in exact arithmetic (bit-identical on
-    CPU f64) and ~1.3× faster on heat, but the f32 trajectory can drift to a
-    different (equally certified) local optimum — pass ``True`` to opt in."""
+    objective declares its batched trial evaluations bit-exact per lane
+    (``_batched_sweeps_bitexact``) — true for elementwise-scan ODE sweeps
+    (2.9× at fishing nt=1024 on v5e) and, since round 4, for dense-mode PDE
+    objectives, whose forward always runs through an explicit K ≥ 2 batch
+    (per-row MXU bits are batch-size invariant; objectives/pde.py) with
+    fold-tree decision reductions: heat nt=500 measures 244 iters/s vs the
+    sequential loop's 112 with bit-identical trajectories
+    (benchmarks/heat_spec_tpu.py).  Disabled for cg/mg sparse engines and
+    the convolution objective (unaligned matmul shapes): there the wave is
+    exact in exact arithmetic (bit-identical on CPU f64) but the f32
+    trajectory can drift to a different (equally certified) local optimum —
+    pass ``True`` to opt in."""
     from .trm import TRMParameters
 
     par = par or TRMParameters()

@@ -158,8 +158,17 @@ def test_speculative_halving_matches_sequential():
     must reproduce the sequential inner loop field-for-field — accepted
     control, J, certificate, AND the sequential-equivalent counters — on an
     ODE and a Lazy (stateless-aux) objective."""
+    from mioc_tpu.models.heat import HeatObj, construct_mesh
+
+    _hmesh = construct_mesh(refinements=1)
     cases = [
         (LVMObj, dict(nt=240), TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)),
+        # Dense-mode heat: since round 4 the forward always evaluates
+        # through an explicit K ≥ 2 batch with fold-tree decision
+        # reductions, so the wave bit-matches the sequential loop on TPU
+        # f32 too (benchmarks/heat_spec_tpu.py confirms at nt=500).
+        (lambda **kw: HeatObj(mesh=_hmesh, **kw), dict(nt=24),
+         TRMParameters(beta=1e-3, p=2, delta0=2.0)),
     ]
     if F64:
         # ConvObj's sweeps are matmul-based: batched f32 accumulation can
