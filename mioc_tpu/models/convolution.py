@@ -49,10 +49,27 @@ def _mass_mv(mdiag, moff, v):
     return out
 
 
+def _mass_mv_rows(mdiag, moff, v):
+    out = mdiag[None, :] * v
+    out = out.at[:, :-1].add(moff * v[:, 1:])
+    out = out.at[:, 1:].add(moff * v[:, :-1])
+    return out
+
+
+@jax.jit
+def _conv_f_batch(xs, K, fvec, mdiag, moff):
+    """Batched objective ``xs (Kb, nt, 1) → (Kb,)``, ``Kb ≥ 2``.  Rows are
+    bit-invariant across batch sizes on TPU (MXU matmul rows and row-dots —
+    the v5e probe in benchmarks/pde_batch_bitexact.py), so the speculative
+    trial wave's evaluations bit-match the single objective, which routes
+    through a duplicated 2-row batch of this same function."""
+    v = xs[:, :, 0] @ K.T - fvec[None, :]          # (Kb, nt+1)
+    return 0.5 * jnp.sum(v * _mass_mv_rows(mdiag, moff, v), axis=1)
+
+
 @jax.jit
 def _conv_f(x, K, fvec, mdiag, moff):
-    v = K @ x[:, 0] - fvec
-    return 0.5 * jnp.dot(v, _mass_mv(mdiag, moff, v))
+    return _conv_f_batch(jnp.stack([x, x]), K, fvec, mdiag, moff)[0]
 
 
 @jax.jit
@@ -72,6 +89,14 @@ def _toeplitz(nt, tau, int_k):
 
 
 class ConvObj(LazyObjective):
+    # The objective always evaluates through a Kb ≥ 2 batch of
+    # ``_conv_f_batch`` (see its docstring), so batched trial evaluations
+    # bit-match the sequential ones and the speculative wave defaults ON —
+    # for conv the win is mainly the trial-wave CHASE kernel (one shared
+    # U-plane stream for all halving trials; the chase dominates the conv
+    # DP pair at 513.8 of 949 µs, BASELINE_SELF.md).
+    _batched_sweeps_bitexact = True
+
     def __init__(self, nt: int = 2048, *, omega0=np.pi, dtype=None):
         super().__init__()
         self.T0, self.T1 = -1.0, 1.0
@@ -134,6 +159,13 @@ class ConvObj(LazyObjective):
 
     def _forward_with(self, x, ops):
         return _conv_f(x, *ops), None
+
+    # Marker consumed by the device TRM's speculative wave (trm_device.py):
+    # a batch-shaped forward whose rows bit-match the single evaluation.
+    _forward_batch_ops = True
+
+    def _forward_batch_with(self, xs, ops):
+        return _conv_f_batch(xs, *ops), None
 
     def _adjoint_with(self, x, aux, ops):
         return _conv_df(x, *ops), None

@@ -208,6 +208,15 @@ class PDEObjective(LazyObjective):
                 raise ValueError(f"unknown sparse format {fmt!r}")
         self._build()
 
+    @property
+    def _speculative_multistart(self):
+        # Multistart default for the trial wave: PDE iterations are
+        # sweep-bound, so batching the trial sweeps still wins under the
+        # start vmap (heat ×8: 1.06×, bit-matching); ODE multistarts leave
+        # this unset — their start axis already amortizes the per-op
+        # overhead (×32 fishing measured 0.89× — trm_device.py).
+        return bool(getattr(self, "_batched_sweeps_bitexact", False))
+
     def unpermute_dofs(self, arr):
         """Map a dof-indexed array (last axis) from the banded engine's
         internal RCM order back to the assembly order (no-op otherwise)."""

@@ -118,53 +118,25 @@ def _dp_kernel(
     def step(i_rev, phi):
         i = nsteps - 1 - i_rev  # sweep i = nt-2 … 0
 
-        # Tropical contraction over successor j (< L).  The value recurrence
-        # is the kernel's only loop-carried dependency chain (the roofline
-        # says this shape is LATENCY-bound at 11.9% of the VPU issue bound,
-        # BASELINE_SELF.md), so the min runs as a BALANCED jnp.minimum TREE
-        # (⌈log₂L⌉ single-op levels on the Φ chain instead of L−1 cmp+select
-        # pairs), and the argmin — which only feeds the U stream, never Φ —
-        # is derived OFF-chain as the first j whose candidate equals the
-        # minimum (bit-identical tie-breaks: first minimal j).
-        cands = [phi[j, :][None, :] + jump_ref[:, j][:, None]
-                 for j in range(L)]
-        tree = list(cands)
-        while len(tree) > 1:
-            tree = [jnp.minimum(tree[k], tree[k + 1])
-                    if k + 1 < len(tree) else tree[k]
-                    for k in range(0, len(tree), 2)]
-        val = tree[0]
+        # Tropical contraction with running argmin over successor j (< L).
+        val = phi[0, :][None, :] + jump_ref[:, 0][:, None]
         arg = jnp.zeros((Lp, Bp), jnp.int32)
-        found = cands[0] == val
         for j in range(1, L):
-            hit = (cands[j] == val) & ~found
-            arg = jnp.where(hit, j, arg)
-            found = found | hit
+            cand = phi[j, :][None, :] + jump_ref[:, j][:, None]
+            better = cand < val
+            val = jnp.where(better, cand, val)
+            arg = jnp.where(better, j, arg)
 
-        # Budget shift: out[l, b] = val[l, b − b̃_l] via static lane
-        # rotations, combined as a DISJOINT-MASK MERGE TREE (the masks
-        # partition the plane: exactly one s matches per row) — ⌈log₂⌉ chain
-        # depth on Φ instead of a sequential select chain.
+        # Budget shift: out[l, b] = val[l, b − b̃_l] via static lane rotations.
         btilde_i = btilde_at(i)[:, None]  # (Lp, 1)
-        nodes = []
+        new_phi = jnp.full((Lp, Bp), _INF)
+        new_arg = jnp.zeros((Lp, Bp), jnp.int32)
         for s in range(smax + 1):
             v = pltpu.roll(val, s, 1) if s else val
             a = pltpu.roll(arg, s, 1) if s else arg
             sel = (btilde_i == s) & (b_lane >= s)
-            nodes.append((sel, v, a))
-        while len(nodes) > 1:
-            merged = []
-            for k in range(0, len(nodes), 2):
-                if k + 1 < len(nodes):
-                    (ma, va, aa), (mb, vb, ab) = nodes[k], nodes[k + 1]
-                    merged.append((ma | mb, jnp.where(ma, va, vb),
-                                   jnp.where(ma, aa, ab)))
-                else:
-                    merged.append(nodes[k])
-            nodes = merged
-        msel, mval, marg = nodes[0]
-        new_phi = jnp.where(msel, mval, _INF)
-        new_arg = jnp.where(msel, marg, 0)
+            new_phi = jnp.where(sel, v, new_phi)
+            new_arg = jnp.where(sel, a, new_arg)
 
         phi_next = stage_at(i)[:, None] + new_phi
 

@@ -264,10 +264,13 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                 lambda uu: detsum_all(grad * (u_old - uu)))(us)
             TV_news = jax.vmap(lambda uu: _tv(uu, p))(us)
             if _has_fwd_batch and K_spec >= 2:
-                # Batch-shaped forward (PDE dense mode): per-row bits equal
-                # the sequential loop's single evaluation, which itself runs
-                # as a duplicated 2-row batch — see objectives/pde.py.
-                J_news, ys_news = obj._forward_batch_with(us, sweep_ops)
+                # Batch-shaped forward (dense PDE / conv): per-row bits
+                # equal the sequential loop's single evaluation, which
+                # itself runs as a duplicated 2-row batch of the same
+                # function — see objectives/pde.py.
+                J_news, ys_b = obj._forward_batch_with(us, sweep_ops)
+                ys_news = (jnp.zeros((K_spec, 1), us.dtype)
+                           if _ys_is_none else ys_b)
             else:
                 J_news, ys_news = jax.vmap(fwd)(us)
 
@@ -583,15 +586,16 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     inside one kernel invocation each); pass ``use_pallas=False`` to force
     the XLA-scan DP.
 
-    ``speculative`` (default: on when the objective declares
-    ``_batched_sweeps_bitexact``, like :func:`trm_solve_device`) evaluates
-    each start's whole halving schedule as ONE batched trial wave per outer
-    iteration: the trial axis composes with the start axis, so the fused
-    chase kernel runs a single ``(S·K)``-batched invocation per outer body
-    (the nested-vmap flattening rule in
-    :mod:`mioc_tpu.ops.backtrack_pallas`) and the ODE trial sweeps batch
-    ``(S, K)`` — the same per-op-overhead amortization that takes the
-    single-solve fishing TRM from 36 to 151 iters/s (BASELINE_SELF.md).
+    ``speculative`` evaluates each start's whole halving schedule as ONE
+    batched trial wave per outer iteration: the trial axis composes with
+    the start axis (one ``(S·K)``-batched chase via the trial-wave kernel,
+    ``(S, K)``-batched trial sweeps).  Default (``None``): on only for
+    objectives declaring ``_speculative_multistart`` (PDE objectives with
+    bit-stable batched sweeps — heat ×8 measures 1.06× with bit-matching
+    controls), OFF for ODE multistarts: the start axis already amortizes
+    the per-op overhead the wave targets, and the wave's extra trial
+    sweeps measured 0.89× at ×32 fishing nt=1024 (the single-solve wave,
+    by contrast, is a 4.2× win — benchmarks/multistart_tpu.py round 4).
 
     With a device ``mesh`` the start axis is sharded over its ``batch`` axis
     (scenario data parallelism across chips).  ``dp_backend="sharded"``
@@ -617,7 +621,7 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
         use_pallas = par.use_pallas if par.use_pallas is not None \
             else pallas_supported()
     if speculative is None:
-        speculative = bool(getattr(obj, "_batched_sweeps_bitexact", False))
+        speculative = bool(getattr(obj, "_speculative_multistart", False))
     run = make_device_trm(obj, par, use_pallas=use_pallas,
                           speculative=speculative,
                           dp_backend=dp_backend, mesh=mesh)
