@@ -43,7 +43,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..ops.detred import detsum
 from .base import LazyObjective
 
 __all__ = ["PDEObjective"]
@@ -208,6 +207,12 @@ class PDEObjective(LazyObjective):
                 raise ValueError(f"unknown sparse format {fmt!r}")
         self._build()
 
+    # Single-solve wave chase preference (trm_device wave_chase): heat
+    # nt=500 measured 244.1 iters/s with the trial-wave kernel vs 234.3
+    # with the K-fold table broadcast (U is large, nt moderate); ODE shapes
+    # prefer the broadcast (fishing: 149.1 vs 115.8 — trm_device.py).
+    _wave_chase_default = "trials"
+
     @property
     def _speculative_multistart(self):
         # Multistart default for the trial wave: PDE iterations are
@@ -341,8 +346,9 @@ class PDEObjective(LazyObjective):
         # evaluating the single sweep as a duplicated 2-row batch makes the
         # speculative trial wave's K-row sweeps bit-match it lane for lane —
         # at MXU speed (the fold-tree matvec alternative measured 8× slower
-        # end-to-end).  Scalar reductions (trapezoid, TV, pred) still run
-        # through detsum fold trees: they are cheap and stable at ANY batch.
+        # end-to-end).  Scalar decision reductions (trapezoid, TV, pred)
+        # use the same pattern: always-row-shaped reduces whose bits are
+        # batch-size invariant for K ≥ 2 (ops/tv.py, trm_device._iv_rows).
         @jax.jit
         def forward_batch(xs, ops):  # xs (K, nt, nx), K ≥ 2
             with self._bound(ops), jax.default_matmul_precision("highest"):
@@ -369,7 +375,10 @@ class PDEObjective(LazyObjective):
                   uu.reshape(Kb * (nt + 1), self.nx),
                   t_idx).reshape(Kb, nt + 1)
                 w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
-                return tau * detsum(w[None] * gvals, axis=-1), ys_all
+                # Native row-reduction: this function always runs with
+                # Kb ≥ 2, and row-reduction bits are batch-size invariant
+                # (the fold-tree detsum measured ~8× slower end-to-end).
+                return tau * jnp.sum(w[None] * gvals, axis=-1), ys_all
 
         @jax.jit
         def forward(x, ops):
@@ -397,7 +406,7 @@ class PDEObjective(LazyObjective):
                     lambda y, ui, ti: self.G(y, x[ui], ti) + self.G_t(x[ui], ti)
                 )(ys_all, u_idx, jnp.arange(nt + 1))
                 w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
-                return tau * detsum(w * gvals, axis=-1), ys_all
+                return tau * jnp.sum(w * gvals), ys_all
 
         @jax.jit
         def adjoint(x, ys_all, ops):

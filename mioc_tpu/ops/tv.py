@@ -11,20 +11,29 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .detred import detsum
-
 __all__ = ["tv_p"]
 
 
 @partial(jax.jit, static_argnames=("p",))
-def _tv(u, p: float):
-    # Reductions run through batch-invariant fold trees (ops/detred.py) so a
-    # vmapped TV (the speculative trial wave) bit-matches the sequential
-    # evaluation per lane — a native lane-sum does not on TPU.
-    d = jnp.abs(u[1:] - u[:-1])  # (nt-1, M)
+def _tv_rows(us, p: float):
+    """Row-wise TV of a BATCH of controls ``us (K, nt, M) → (K,)``.
+
+    On TPU, row-reduction bits are invariant across batch sizes K ≥ 2 (v5e
+    probe, benchmarks/pde_batch_bitexact.py round 4) but differ from the
+    unbatched lane-sum lowering — so the single-control :func:`_tv` routes
+    through a duplicated 2-row batch of THIS function, making a trial
+    wave's vmapped TVs bit-match the sequential loop's at native reduce
+    speed (the fold-tree alternative cost ~2 ms/outer-iteration of layout
+    ops in the fishing device loop)."""
+    d = jnp.abs(us[:, 1:] - us[:, :-1])  # (K, nt-1, M)
     if p == float("inf"):
-        return detsum(d.max(axis=-1), axis=-1)
-    return detsum(detsum(d**p, axis=-1) ** (1.0 / p), axis=-1)
+        return d.max(axis=-1).sum(axis=-1)
+    return ((d**p).sum(axis=-1) ** (1.0 / p)).sum(axis=-1)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _tv(u, p: float):
+    return _tv_rows(jnp.stack([u, u]), p)[0]
 
 
 def tv_p(u, p) -> jnp.ndarray:

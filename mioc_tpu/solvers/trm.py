@@ -52,12 +52,11 @@ __all__ = ["TRMParameters", "TRMResult", "trm_solve", "TRM"]
 # the axon TPU runtime permanently (BASELINE_SELF.md).
 @jax.jit
 def _inner_product(grad, a, b):
-    # Batch-invariant fold-tree reduction (ops/detred.py): keeps the host
-    # loop's pred bit-identical to the device loops', whose speculative
-    # trial waves evaluate the same quantity vmapped.
-    from ..ops.detred import detsum_all
-
-    return detsum_all(grad * (a - b))
+    # Duplicated 2-row batch of the device loops' row-wise reduction
+    # (trm_device._iv_rows): row-reduction bits are batch-size invariant on
+    # TPU for K ≥ 2, so the host loop's pred bit-matches the device loops'
+    # and their speculative trial waves' (ops/tv.py has the same pattern).
+    return jnp.sum(grad[None] * (a[None] - jnp.stack([b, b])), axis=(1, 2))[0]
 
 
 @jax.jit

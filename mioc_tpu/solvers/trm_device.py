@@ -26,10 +26,9 @@ import numpy as np
 
 from ..ops.backtrack_pallas import backtrack_pallas, backtrack_pallas_trials
 from ..ops.bellman import backtrack, build_tables, max_budget_use, stage_tables
-from ..ops.detred import detsum_all
 from ..ops.bellman_pallas import build_tables_pallas, pallas_supported
 from ..ops.levels import jump_cost_table
-from ..ops.tv import _tv
+from ..ops.tv import _tv, _tv_rows
 from ..utils.init import rand_func
 
 __all__ = ["make_device_trm", "trm_solve_device", "multistart_solve_device"]
@@ -56,9 +55,18 @@ class DeviceTRMResult(NamedTuple):
 _DEVICE_TRM_CACHE: dict = {}
 
 
+def _iv_rows(grad, u_old, us):
+    """Row-wise inner products ``Σ grad·(u_old − us[k]) → (K,)``.  Like
+    ``_tv_rows`` (ops/tv.py): row-reduction bits are batch-size invariant on
+    TPU for K ≥ 2, so single evaluations route through a duplicated 2-row
+    batch and bit-match the trial wave's values."""
+    return jnp.sum(grad[None] * (u_old[None] - us), axis=(1, 2))
+
+
 def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                     outer_chunk=None, speculative: bool = False,
-                    dp_backend: Optional[str] = None, mesh=None):
+                    dp_backend: Optional[str] = None, mesh=None,
+                    wave_chase: str = "vmap"):
     """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
     parameters ``par`` (a TRMParameters).  The returned function contains the
     full TRM; vmap it for batched multistart — with ``use_pallas`` both fused
@@ -252,17 +260,30 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
             # planes ONCE for all K (and, under the multistart vmap, all S·K)
             # pointer chases; the scan path vmaps the backtrack (the tables
             # broadcast lazily there).
+            # Chase strategy, chosen by the measured shape trade
+            # (benchmarks round 4): "vmap" broadcasts the tables K-fold and
+            # chases them with the sublane-parallel batched kernel — wins
+            # for SINGLE solves, where the broadcast DMA (~K·|U|) is cheaper
+            # than the trial kernel's statically-unrolled per-trial ops
+            # (fishing ×1: 149.1 vs 115.8 iters/s).  "trials" streams the
+            # shared U planes once for all (S·K) pointer chases — the
+            # multistart form, where a (S·K)-fold broadcast would move GBs
+            # per outer iteration (heat ×8: 1.06× with bit-matching
+            # controls).
             B_ks = jnp.asarray(_B_sched, jnp.int32)
-            if use_pallas:
+            if use_pallas and wave_chase == "trials":
                 us, _ = backtrack_pallas_trials(U, phi0, btilde_bt, levels_bt,
                                                 B_ks)
             else:
                 us, _ = jax.vmap(dp_backtrack,
                                  in_axes=(None, None, None, None, 0))(
                     U, phi0, btilde_bt, levels_bt, B_ks)
-            int_vals = dt * jax.vmap(
-                lambda uu: detsum_all(grad * (u_old - uu)))(us)
-            TV_news = jax.vmap(lambda uu: _tv(uu, p))(us)
+            # Row-wise decision reductions: the sequential body computes
+            # the same quantities through duplicated 2-row batches of these
+            # functions, so the wave's values bit-match its (row-reduction
+            # bits are batch-size invariant on TPU for K >= 2 — ops/tv.py).
+            int_vals = dt * _iv_rows(grad, u_old, us)
+            TV_news = _tv_rows(us, p)
             if _has_fwd_batch and K_spec >= 2:
                 # Batch-shaped forward (dense PDE / conv): per-row bits
                 # equal the sequential loop's single evaluation, which
@@ -329,7 +350,8 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                  u_cand, J_ret, stop, inner_total, f_evals) = t
                 B_k = jnp.floor(delta / dt).astype(jnp.int32)
                 u, _ = dp_backtrack(U, phi0, btilde_bt, levels_bt, B_k)
-                int_val = dt * detsum_all(grad * (u_old - u))
+                int_val = dt * _iv_rows(grad, u_old,
+                                        jnp.stack([u, u]))[0]
                 TV_new = _tv(u, p)
                 J_new, ys_new = fwd(u)
                 f_evals = f_evals + 1
@@ -406,7 +428,7 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     cache_key = (
         type(obj), _params_key(obj), beta, sigma, p, kmax, maxiter, delta0,
         bool(par.compat_pinf), bool(use_pallas), bool(speculative),
-        dp_backend, mesh_sig,
+        dp_backend, mesh_sig, wave_chase,
     )
     jits = _DEVICE_TRM_CACHE.get(cache_key)
     if jits is None:
@@ -543,14 +565,21 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
     if x0 is None:
         x0 = rand_func(obj, seed=seed)
     if speculative is None:
-        speculative = bool(getattr(obj, "_batched_sweeps_bitexact", False))
+        # Per-objective measured default: _speculative_default overrides the
+        # capability flag (e.g. conv is bit-exact under the wave but its
+        # trial evaluations are matmul-bound, measured 0.80× — opt-in).
+        speculative = bool(getattr(obj, "_speculative_default",
+                                   getattr(obj, "_batched_sweeps_bitexact",
+                                           False)))
     if dp_backend is None and getattr(par, "dp_backend", None) == "sharded":
         # Honor the host-loop parameter spelling (TRMParameters.dp_backend)
         # so --dp-backend sharded reaches the device loop too.
         dp_backend, mesh = "sharded", mesh if mesh is not None else par.mesh
     run = make_device_trm(obj, par, use_pallas=use_pallas,
                           outer_chunk=outer_chunk, speculative=speculative,
-                          dp_backend=dp_backend, mesh=mesh)
+                          dp_backend=dp_backend, mesh=mesh,
+                          wave_chase=getattr(obj, "_wave_chase_default",
+                                             "vmap"))
     on_segment = None
     if par.checkpoint_path and outer_chunk:
         from ..utils.io import save_checkpoint
@@ -624,7 +653,8 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
         speculative = bool(getattr(obj, "_speculative_multistart", False))
     run = make_device_trm(obj, par, use_pallas=use_pallas,
                           speculative=speculative,
-                          dp_backend=dp_backend, mesh=mesh)
+                          dp_backend=dp_backend, mesh=mesh,
+                          wave_chase="trials")
     levels, jump, sweep_ops = run.operands
     x0s = jnp.asarray(x0s, dtype=levels.dtype)
 
