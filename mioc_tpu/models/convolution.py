@@ -62,9 +62,11 @@ def _conv_f_batch(xs, K, fvec, mdiag, moff):
     bit-invariant across batch sizes on TPU (MXU matmul rows and row-dots —
     the v5e probe in benchmarks/pde_batch_bitexact.py), so the speculative
     trial wave's evaluations bit-match the single objective, which routes
-    through a duplicated 2-row batch of this same function."""
-    v = xs[:, :, 0] @ K.T - fvec[None, :]          # (Kb, nt+1)
-    return 0.5 * jnp.sum(v * _mass_mv_rows(mdiag, moff, v), axis=1)
+    through a duplicated 2-row batch of this same function.  Full-f32 MXU
+    precision: the TPU default (bf16 passes) costs ~1e-3 relative on f."""
+    with jax.default_matmul_precision("highest"):
+        v = xs[:, :, 0] @ K.T - fvec[None, :]      # (Kb, nt+1)
+        return 0.5 * jnp.sum(v * _mass_mv_rows(mdiag, moff, v), axis=1)
 
 
 @jax.jit
@@ -74,8 +76,9 @@ def _conv_f(x, K, fvec, mdiag, moff):
 
 @jax.jit
 def _conv_df(x, K, fvec, mdiag, moff):
-    v = K @ x[:, 0] - fvec
-    return (K.T @ _mass_mv(mdiag, moff, v))[:, None]
+    with jax.default_matmul_precision("highest"):
+        v = K @ x[:, 0] - fvec
+        return (K.T @ _mass_mv(mdiag, moff, v))[:, None]
 
 
 def _toeplitz(nt, tau, int_k):
