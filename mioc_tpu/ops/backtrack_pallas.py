@@ -132,6 +132,123 @@ def _bt_kernel(
     idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
 
 
+def _allreduce_max_lanes(x, width: int):
+    """Cyclic roll + max tree: every lane ends up holding the global max of
+    the ``width`` lanes (power of two) — a lane BROADCAST of a reduction
+    without the vector→scalar→vector round trip (Mosaic implements neither
+    a cheap scalar extract nor a (1,1)-vreg lane broadcast)."""
+    s = 1
+    while s < width:
+        x = jnp.maximum(x, pltpu.roll(x, s, 1))
+        s *= 2
+    return x
+
+
+def _bt_kernel_vec(
+    bnew_ref,     # (1, 1) i32, SMEM
+    phi0_ref,     # (Lp, Bp) f32, VMEM
+    btilde_ref,   # (nt, Bp) i32, VMEM — level axis PADDED to Bp lanes
+    U_hbm_ref,    # (nsteps_pad, Lp, Bp) i32, HBM
+    idx_ref,      # out: (1, ntp) i32, VMEM
+    u_buf_ref,    # scratch: (2, K, Lp, Bp) i32
+    idx_buf_ref,  # scratch: (1, 128) i32
+    sem,          # DMA semaphores (2,)
+    *,
+    nt: int,
+    K: int,
+    L: int,
+):
+    """Chase with LANE-BROADCAST vector state: ``(l, b)`` live as (1, Bp)
+    vectors with every lane equal.  The scalar-carry kernel pays two
+    vector→scalar reductions plus a dynamic-sublane slice per step — ~236
+    cycles/step of chain (513.8 µs at conv nt=2048, more than the build it
+    follows).  Here the row select is ``L`` statically-unrolled elementwise
+    selects against the broadcast ``l`` and both lookups finish with a
+    log₂(Bp) roll+max all-reduce whose result is ALREADY broadcast — the
+    chain never leaves the VPU's vector lanes.  MEASURED NEGATIVE: the
+    roll+max chains cost more than the crossings they remove (conv chase
+    1205.9 vs 513.8 µs) — kept behind MIOC_CHASE=vec as the documented
+    third strike on chase latency (BASELINE_SELF.md round 4)."""
+    Lp, Bp = phi0_ref.shape
+    nsteps = nt - 1
+    nchunks = -(-nsteps // K)
+    b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
+    l_sub = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
+    t128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    zero_row = jnp.zeros((1, Bp), jnp.int32)
+
+    # Seed argmin (reference column-major order) — one-time scalar path,
+    # then broadcast into the vector carry via supported scalar broadcasts.
+    masked = jnp.where(b_lane <= bnew_ref[0, 0], phi0_ref[:], _INF)
+    mval = jnp.min(masked)
+    lin = jnp.where(masked == mval, l_sub * Bp + b_lane, _BIG)
+    pick = jnp.min(lin)
+    l0 = zero_row + pick // Bp            # (1, Bp), all lanes equal
+    b0 = zero_row + (pick - (pick // Bp) * Bp)
+    idx_buf_ref[:] = jnp.where(t128 == 0, l0[:, :128],
+                               jnp.zeros((1, 128), jnp.int32))
+
+    def start_chunk(c):
+        pltpu.make_async_copy(
+            U_hbm_ref.at[pl.ds(c * K, K)], u_buf_ref.at[c % 2], sem.at[c % 2]
+        ).start()
+
+    start_chunk(0)
+    if nchunks > 1:
+        start_chunk(1)
+
+    def step(k, carry):
+        l, b = carry  # (1, Bp) broadcast vectors
+        chunk = k // K
+        row = k - chunk * K
+        slot = jax.lax.rem(chunk, 2)
+
+        @pl.when(row == 0)
+        def _():
+            pltpu.make_async_copy(
+                U_hbm_ref.at[pl.ds(chunk * K, K)], u_buf_ref.at[slot],
+                sem.at[slot],
+            ).wait()
+
+        plane = u_buf_ref[slot, row]               # (Lp, Bp)
+        rowv = jnp.where(l == 0, plane[0:1, :], zero_row)
+        for j in range(1, L):
+            rowv = jnp.where(l == j, plane[j:j + 1, :], rowv)
+        l_next = _allreduce_max_lanes(
+            jnp.where(lane_row == b, rowv, zero_row), Bp)
+        # Budget decrement: btilde row padded to Bp lanes, same machinery.
+        bt_row = btilde_ref[pl.ds(k, 1), :]        # (1, Bp)
+        bt_l = _allreduce_max_lanes(
+            jnp.where(lane_row == l, bt_row, zero_row), Bp)
+        b_next = b - bt_l  # decrement AFTER lookup
+
+        p = k + 1
+        out_chunk = p // 128
+        out_row = p - out_chunk * 128
+
+        @pl.when(out_row == 0)
+        def _():
+            idx_ref[:, pl.ds((out_chunk - 1) * 128, 128)] = idx_buf_ref[:]
+            idx_buf_ref[:] = jnp.zeros((1, 128), jnp.int32)
+
+        idx_buf_ref[:] = jnp.where(t128 == out_row, l_next[:, :128],
+                                   idx_buf_ref[:])
+
+        @pl.when((row == K - 1) & (chunk + 2 <= nchunks - 1))
+        def _():
+            pltpu.make_async_copy(
+                U_hbm_ref.at[pl.ds((chunk + 2) * K, K)],
+                u_buf_ref.at[slot],
+                sem.at[slot],
+            ).start()
+
+        return (l_next, b_next)
+
+    jax.lax.fori_loop(0, nsteps, step, (l0, b0))
+    idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
+
+
 def _bt_kernel_batched(
     bnew_ref,     # (S, 1) i32, VMEM — per-start budget cap (traced halvings)
     phi0_ref,     # (S, Lp, Bp) f32, VMEM
@@ -498,6 +615,17 @@ def _backtrack_batched_impl(U, phi0, btilde, levels, B_new,
     return levels[level_idx], level_idx
 
 
+# Chase-state experiments (BASELINE_SELF.md round 4): the scalar-carry
+# kernel WINS.  Alternatives measured/attempted: (a) full-plane masked
+# reduce (r3: 507 vs 514 µs — flat), (b) (1,1)-vreg carries (Mosaic:
+# "Not implemented: Lane broadcast"), (c) the lane-broadcast roll+max
+# all-reduce kernel below (conv chase 1205.9 vs 513.8 µs, heat 618.5 vs
+# 262.8 — the 2·log₂(Bp) roll+max chain costs more than the two
+# vector→scalar crossings it removes).  MIOC_CHASE=vec re-enables (c)
+# for experiments.
+_CHASE_VEC = __import__("os").environ.get("MIOC_CHASE", "scalar") == "vec"
+
+
 def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
     from .bellman_pallas import _chunk_size
 
@@ -512,7 +640,16 @@ def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
 
     bnew = jnp.asarray(B_new, jnp.int32).reshape(1, 1)
     ntp = -(-nt // 128) * 128
-    kernel = functools.partial(_bt_kernel, nt=nt, K=K)
+    if _CHASE_VEC:
+        # Lane-broadcast vector-state chase — measured SLOWER than the
+        # scalar carries (see _CHASE_VEC note); kept for experiments.
+        btilde_p = jnp.zeros((nt, Bp), jnp.int32).at[:, :btilde.shape[1]].set(
+            btilde.astype(jnp.int32))
+        kernel = functools.partial(_bt_kernel_vec, nt=nt, K=K,
+                                   L=btilde.shape[1])
+        btilde = btilde_p
+    else:
+        kernel = functools.partial(_bt_kernel, nt=nt, K=K)
     idx = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, ntp), jnp.int32),

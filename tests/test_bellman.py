@@ -523,3 +523,31 @@ def test_nested_vmap_backtrack_flattens_into_one_batch():
     idx_p = jax.vmap(inner_p)(U_b, phi_b, btilde_b)
     idx_s = jax.vmap(inner_s)(U_rb, phi_rb, btilde_b)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_s))
+
+
+def test_vec_chase_variant_bitmatch(monkeypatch):
+    """The experimental lane-broadcast chase kernel (MIOC_CHASE=vec; a
+    measured performance negative, kept for future Mosaic revisions) stays
+    bit-identical to the scan backtrack."""
+    import mioc_tpu.ops.backtrack_pallas as bp
+    from mioc_tpu.ops.bellman import backtrack, build_tables, max_budget_use
+    from mioc_tpu.ops.bellman_pallas import build_tables_pallas
+
+    monkeypatch.setattr(bp, "_CHASE_VEC", True)
+    rng = np.random.default_rng(3)
+    s = product_levels([[-2, -1, 0, 1, 2]])
+    nt, B, tau = 200, 17, 0.1
+    levels = jnp.asarray(s.levels)
+    jump = jnp.asarray(jump_cost_table(s.levels, p=1, beta=1e-3))
+    smax = max_budget_use(s.levels)
+    grad = jnp.asarray(rng.normal(size=(nt, 1)))
+    u_old = jnp.asarray(s.levels[rng.integers(0, s.L, size=nt)])
+    stage, btilde = stage_tables(grad, u_old, levels, tau)
+    U_p, phi_p = build_tables_pallas(stage, btilde, jump, B, smax,
+                                     interpret=INTERPRET)
+    U_r, phi_r = build_tables(stage, btilde, jump, B, smax)
+    for Bn in (B, 7, 0):
+        _, i_v = bp._backtrack_impl(U_p, phi_p, btilde, levels,
+                                    jnp.int32(Bn), interpret=INTERPRET)
+        _, i_s = backtrack(U_r, phi_r, btilde, levels, jnp.int32(Bn))
+        np.testing.assert_array_equal(np.asarray(i_v), np.asarray(i_s))
