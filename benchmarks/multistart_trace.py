@@ -20,27 +20,16 @@ from mioc_tpu.utils.init import rand_func
 
 
 def top_ops(logdir, n=25):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    """Per-op device self-times from the xplane proto directly (the
+    tensorboard-plugin converter is broken in this image — dp_roofline.py
+    uses the same parser)."""
+    from dp_roofline import device_op_times  # same directory
 
-    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                      recursive=True)
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        paths, "framework_op_stats^", {})
-    import csv
-    import io
-
-    rows = list(csv.DictReader(io.StringIO(data)))
-    rows = [r for r in rows if r.get("host_or_device") == "Device"]
-    key = "total_self_time_in_us"
-    if rows and key not in rows[0]:
-        print("columns:", list(rows[0].keys()))
-        return
-    rows.sort(key=lambda r: -float(r[key]))
-    tot = sum(float(r[key]) for r in rows)
-    print(f"  total device self time: {tot / 1e3:.1f} ms")
-    for r in rows[:n]:
-        print(f"  {float(r[key]) / 1e3:9.3f} ms  {r.get('occurrences', '?'):>6}x  "
-              f"{r.get('type', '')[:18]:18s} {r.get('operation', '')[:80]}")
+    by_name, tot = device_op_times(logdir)
+    print(f"  total device self time: {tot * 1e3:.1f} ms")
+    rows = sorted(by_name.items(), key=lambda kv: -kv[1][0])
+    for name, (s, cnt) in rows[:n]:
+        print(f"  {s * 1e3:9.3f} ms  {cnt:>6}x  {name[:86]}")
 
 
 def main():

@@ -343,3 +343,30 @@ def test_plot_results_raw_objective(tmp_path):
                        data_dir=str(tmp_path / "d"))
     assert os.path.exists(out)
     assert os.path.exists(tmp_path / "d" / "v(1).dat")
+
+
+def test_detred_fold_trees():
+    """ops/detred: batch-invariant fold-tree reductions (reference utility;
+    the production paths use always-row-shaped native reduces instead —
+    BASELINE_SELF.md round 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mioc_tpu.ops.detred import detdot, detmatvec, detsum, detsum_all
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 37)))
+    np.testing.assert_allclose(np.asarray(detsum(x)), np.asarray(x).sum(-1),
+                               rtol=1e-12)
+    # vmap of detsum equals per-lane detsum BIT-for-bit (elementwise tree).
+    one = np.stack([np.asarray(detsum(x[k])) for k in range(4)])
+    bat = np.asarray(jax.jit(jax.vmap(detsum))(x))
+    np.testing.assert_array_equal(one, bat)
+
+    A = jnp.asarray(rng.normal(size=(9, 37)))
+    np.testing.assert_allclose(np.asarray(detmatvec(A, x[0])),
+                               np.asarray(A) @ np.asarray(x[0]), rtol=1e-12)
+    np.testing.assert_allclose(float(detdot(x[0], x[1])),
+                               float(np.dot(x[0], x[1])), rtol=1e-12)
+    assert float(detsum_all(x)) == float(detsum(x.reshape(-1)))
+    assert detsum(jnp.zeros((3, 0))).shape == (3,)
