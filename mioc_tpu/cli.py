@@ -75,6 +75,16 @@ def main(argv=None):
                          "elsewhere; 'sharded' partitions the contraction "
                          "over the device mesh's level axis, 'temporal' "
                          "parallelizes the time axis)")
+    ap.add_argument("--speculative", dest="speculative", default=None,
+                    action="store_true",
+                    help="device loop: evaluate the whole trust-region "
+                         "halving schedule as one batched trial wave per "
+                         "outer iteration (default: per-objective measured "
+                         "policy — on for ODE/dense-PDE single solves and "
+                         "PDE multistarts; trajectories bit-match the "
+                         "sequential loop)")
+    ap.add_argument("--no-speculative", dest="speculative",
+                    action="store_false")
     ap.add_argument("--device-chunk", type=int, default=None,
                     help="segment the device loop into dispatches of N outer "
                          "iterations (bounds single-dispatch runtime for "
@@ -149,7 +159,8 @@ def main(argv=None):
                 from .parallel import make_device_mesh
 
                 mesh = make_device_mesh(batch=jax.device_count())
-            batch = multistart_solve_device(obj, par, x0s, mesh=mesh)
+            batch = multistart_solve_device(obj, par, x0s, mesh=mesh,
+                                            speculative=args.speculative)
             best = int(_np.argmin(batch.J))
             dev = type(batch)(*[leaf[best] for leaf in batch])
         else:
@@ -161,7 +172,8 @@ def main(argv=None):
                 prog = lambda it, s: print(
                     f"  device loop: {it} outer iterations ({s:.1f} s segment)")
             dev = trm_solve_device(obj, par, x0=_julia_x0(obj), seed=args.seed,
-                                   outer_chunk=chunk, progress=prog)
+                                   outer_chunk=chunk, progress=prog,
+                                   speculative=args.speculative)
         from .solvers.trm import TRMResult
 
         res = TRMResult(

@@ -111,7 +111,14 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     tiny-state ODE sweeps are per-op-overhead-bound (~4.6 ms/sweep at
     fishing nt=1024 whether the state is (2,) or (K, 2) —
     benchmarks/singletrm_trace.py), so one batched wave replaces ~4-5
-    sequential sweeps per outer iteration."""
+    sequential sweeps per outer iteration.
+
+    ``wave_chase`` selects how the wave extracts its trial controls:
+    ``"vmap"`` (default — broadcast the tables K-fold and run the
+    sublane-parallel batched chase kernel; wins for single solves) or
+    ``"trials"`` (stream the shared U planes once through the trial-wave
+    kernel; the multistart form, and the PDE-objective preference via
+    ``_wave_chase_default``) — measured trade in BASELINE_SELF.md."""
     adm = obj.admissible
     if adm is None or adm.L == 0:
         raise ValueError("Objective has no admissible integer level combinations.")
