@@ -130,7 +130,10 @@ def analyze(name, nt, spec, p, beta, B, reps=64, unroll=4):
 
     fn = jax.jit(many)
     float(fn(stage, btilde, jump))  # compile + warm (readback = completion)
-    logdir = f"/tmp/mioc_roofline_{L}_{B}_u{unroll}"
+    # Fresh dir per process: jax.profiler.trace appends timestamped subdirs
+    # and the glob would otherwise read a STALE trace from an earlier run
+    # (observed: two runs reporting byte-identical microseconds).
+    logdir = f"/tmp/mioc_roofline_{L}_{B}_u{unroll}_{os.getpid()}"
     with jax.profiler.trace(logdir):
         float(fn(stage + jnp.float32(1e-5), btilde, jump))
 
@@ -143,8 +146,13 @@ def analyze(name, nt, spec, p, beta, B, reps=64, unroll=4):
     chase_s = matched_time(by_name, "backtrack")
     if build_s == 0.0:  # fall back: any custom call
         build_s = matched_time(by_name, "custom-call", "custom_call")
-    kern_s = build_s
-    per_build = kern_s / reps
+    # In-module correction: the build event's window absorbs the chase it
+    # overlaps (the build's trailing async U DMAs run under the chase, so
+    # the profiler bills the chase's duration to the build event too —
+    # verified: event − chase matches both the isolated-dispatch build
+    # self-time and bench.py's readback-forced slope to ~1 µs at the conv
+    # AND heat shapes).  Round 3's BASELINE_SELF caveat, applied.
+    per_build = max(build_s - chase_s, 0.0) / reps
     per_chase = chase_s / reps
 
     nsteps = nt - 1
