@@ -176,3 +176,34 @@ def test_banded_matvec_rectangular():
         np.asarray(banded_matvec(spec, jnp.asarray(blk), jnp.asarray(x))),
         A @ x, rtol=1e-12 if F64 else 1e-4,
     )
+
+
+def test_pde_forward_batch_rows_match_single():
+    """The batch-shaped dense forward (`_forward_batch_with`) is the
+    speculative wave's evaluation path.  On TPU its rows are BIT-equal to
+    the single forward (MXU per-row bits are batch-size invariant for
+    K ≥ 2 — the round-4 probe); CPU matmul kernels vary with batch shape at
+    the last-ulp level, so there the rows agree to rounding only."""
+    import jax
+
+    from mioc_tpu.models.heat import HeatObj, construct_mesh
+    from mioc_tpu.utils.init import rand_func
+
+    obj = HeatObj(nt=20, mesh=construct_mesh(refinements=1))
+    ops = obj._sweep_ops()
+    us = jnp.stack([jnp.asarray(rand_func(obj, seed=s), obj.dtype)
+                    for s in range(5)])
+    fvals, ys = obj._forward_batch_with(us, ops)
+    assert fvals.shape == (5,) and ys.shape[0] == 5
+    exact = jax.devices()[0].platform == "tpu"
+    for k in range(5):
+        f1, y1 = obj._forward_with(us[k], ops)
+        if exact:
+            np.testing.assert_array_equal(np.asarray(fvals[k]),
+                                          np.asarray(f1))
+            np.testing.assert_array_equal(np.asarray(ys[k]), np.asarray(y1))
+        else:
+            np.testing.assert_allclose(np.asarray(fvals[k]), np.asarray(f1),
+                                       rtol=1e-12 if F64 else 1e-5)
+            np.testing.assert_allclose(np.asarray(ys[k]), np.asarray(y1),
+                                       rtol=1e-12 if F64 else 1e-4)
