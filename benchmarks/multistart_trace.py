@@ -50,7 +50,8 @@ def main():
         cases = [c for c in cases if c[0] == which]
     for name, up in cases:
         multistart_solve_device(obj, par, x0s, use_pallas=up)  # compile+warm
-        logdir = f"/tmp/mioc_trace_{name}"
+        # Fresh dir per run (a reused dir serves a stale trace).
+        logdir = f"/tmp/mioc_trace_{name}_{os.getpid()}"
         with jax.profiler.trace(logdir):
             multistart_solve_device(obj, par, x0s, use_pallas=up)
         print(f"== {name} ==")

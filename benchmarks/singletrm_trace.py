@@ -32,7 +32,10 @@ def main():
     res = trm_solve_device(obj, par, seed=1)  # compile + warm
     print(f"warm solve: J={float(res.J):.6f}, iters={int(res.iterations)}, "
           f"converged={bool(res.converged)}")
-    logdir = "/tmp/mioc_trace_single"
+    # Fresh dir per run: the parser globs the first trace file, and a
+    # reused dir serves a STALE one (observed: identical readings).
+    import os as _os
+    logdir = f"/tmp/mioc_trace_single_{_os.getpid()}"
     with jax.profiler.trace(logdir):
         res = trm_solve_device(obj, par, seed=1)
         _ = float(res.J)  # readback forces completion inside the trace

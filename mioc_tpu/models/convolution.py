@@ -94,13 +94,11 @@ def _toeplitz(nt, tau, int_k):
 class ConvObj(LazyObjective):
     # The objective always evaluates through a Kb ≥ 2 batch of
     # ``_conv_f_batch`` (see its docstring), so batched trial evaluations
-    # bit-match the sequential ones — the speculative wave is EXACT here.
-    # It still defaults OFF for single solves: conv's trial evaluation is a
-    # (nt+1, nt) matmul, so the wave's K-per-outer evaluations outweigh the
-    # saved chase dispatches (measured 48.6 vs 60.6 iters/s at nt=1024 on
-    # v5e, bit-matching controls — benchmarks/singletrm_rates.py).
+    # bit-match the sequential ones — the speculative wave is EXACT here
+    # and defaults ON (46.2 vs 43.3 iters/s at nt=1024 on v5e with
+    # bit-matching controls once the decision reductions went row-shaped —
+    # benchmarks/singletrm_rates.py round 4).
     _batched_sweeps_bitexact = True
-    _speculative_default = False
 
     def __init__(self, nt: int = 2048, *, omega0=np.pi, dtype=None):
         super().__init__()

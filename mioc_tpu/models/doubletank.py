@@ -50,6 +50,17 @@ class DTMObj(ODEObjective):
     def Fu(self, y, u, i):
         return jnp.stack([self.c, jnp.zeros_like(self.c)])
 
+    # Fused adjoint product (see ODEObjective.FyT_lam): explicit scalar
+    # expressions fuse into one op per backward-scan step — materializing
+    # the Fy matrix per step fragmented the adjoint into ~100× its cost
+    # (round-4 profile), and the vjp default is unroll-bit-unstable on CPU.
+    def FyT_lam(self, y, u, lam, i):
+        i1 = -1.0 / (2.0 * jnp.sqrt(y[0]))
+        return jnp.stack([
+            i1 * lam[0] - i1 * lam[1],
+            (-1.0 / (2.0 * jnp.sqrt(y[1]))) * lam[1],
+        ])
+
     # Objective (example_doubletank.jl:70-82).
     def G(self, y, u, i):
         return self.k1 * (y[1] - self.k2) ** 2

@@ -76,6 +76,20 @@ class LVMObj(ODEObjective):
     def Fu(self, y, u, i):
         return jnp.stack([-self.c1 * y[0] * self.v1, -self.c2 * y[1] * self.v2])
 
+    # Fused adjoint product (see ODEObjective.FyT_lam): explicit scalar
+    # expressions fuse into one op per backward-scan step — materializing
+    # the Fy matrix per step fragmented the adjoint into ~100× its cost
+    # (round-4 profile), and the vjp default is unroll-bit-unstable on CPU.
+    def FyT_lam(self, y, u, lam, i):
+        return jnp.stack([
+            (self.alpha - self.beta * y[1]
+             - self.c1 * const_dot(u, self.v1)) * lam[0]
+            + self.delta * y[1] * lam[1],
+            -self.beta * y[0] * lam[0]
+            + (-self.gamma + self.delta * y[0]
+               - self.c2 * const_dot(u, self.v2)) * lam[1],
+        ])
+
     # Tracking objective (example_fishing.jl:79-92).
     def G(self, y, u, i):
         return 0.5 * (y[0] - 1.0) ** 2 + 0.5 * (y[1] - 1.0) ** 2

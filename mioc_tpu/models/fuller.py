@@ -66,6 +66,13 @@ class FullerObj(ODEObjective):
         z = jnp.zeros((), dtype=y.dtype)
         return jnp.array([[z], [z - 2.0]])
 
+    # Fused adjoint product (see ODEObjective.FyT_lam): explicit scalar
+    # expressions fuse into one op per backward-scan step — materializing
+    # the Fy matrix per step fragmented the adjoint into ~100× its cost
+    # (round-4 profile), and the vjp default is unroll-bit-unstable on CPU.
+    def FyT_lam(self, y, u, lam, i):
+        return jnp.stack([jnp.zeros_like(lam[0]), lam[0]])
+
     def _terminal_mask(self, i):
         # ``i`` is a traced time index inside the sweeps: branch with a
         # select, not Python control flow.

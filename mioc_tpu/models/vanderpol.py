@@ -44,6 +44,17 @@ class VPOObj(ODEObjective):
             [jnp.zeros_like(self.c), (1.0 - y[0] ** 2) * y[1] * self.c]
         )
 
+    # Fused adjoint product (see ODEObjective.FyT_lam): explicit scalar
+    # expressions fuse into one op per backward-scan step — materializing
+    # the Fy matrix per step fragmented the adjoint into ~100× its cost
+    # (round-4 profile), and the vjp default is unroll-bit-unstable on CPU.
+    def FyT_lam(self, y, u, lam, i):
+        cu = const_dot(u, self.c)
+        return jnp.stack([
+            (-2.0 * y[0] * y[1] * cu - 1.0) * lam[1],
+            lam[0] + (1.0 - y[0] ** 2) * cu * lam[1],
+        ])
+
     # Objective (example_vanderpol.jl:69-81).
     def G(self, y, u, i):
         return y[0] ** 2 + y[1] ** 2

@@ -185,6 +185,20 @@ class ODEObjective(LazyObjective):
     def Fy(self, y, u, i):
         return jax.jacfwd(lambda yy: self.F(yy, u, i))(y)
 
+    def FyT_lam(self, y, u, lam, i):
+        """Adjoint-mode product ``Fyᵀλ`` — the only dynamics derivative the
+        backward scan consumes.  Default: ``jax.vjp`` of ``F``, an
+        elementwise chain that FUSES into the scan body.  Materializing the
+        ``Fy`` matrix per step and transpose-matvec'ing it (the previous
+        form — whether from :meth:`Fy`'s autodiff default or a hand-written
+        ``jnp.array`` of scalars) fragments the tiny-state adjoint into
+        dozens of (1,2)-shaped fusions: the fishing adjoint sweep measured
+        5.05 ms vs the forward's 46 µs at nt=1024 on v5e (round-4 xplane
+        profile) — 72% of the device solve.  Override together with
+        :meth:`Fy` for hand-written parity versions."""
+        _, vjp = jax.vjp(lambda yy: self.F(yy, u, i), y)
+        return vjp(lam)[0]
+
     def Fu(self, y, u, i):
         return jax.jacfwd(lambda uu: self.F(y, uu, i))(u)
 
@@ -256,7 +270,7 @@ class ODEObjective(LazyObjective):
         key = (type(self), _params_key(self))
         cached = _SWEEP_CACHE.get(key)
         if cached is not None:
-            self._forward, self._adjoint = cached
+            self._forward, self._adjoint, self._forward_batch_ops = cached
             return
 
         tau, nt = self.tau, self.nt
@@ -291,7 +305,8 @@ class ODEObjective(LazyObjective):
 
             def bstep(lam, xs):
                 y, u, i = xs
-                newlam = lam + tau * (self.Fy(y, u, i).T @ lam - self.Gy(y, u, i))
+                newlam = lam + tau * (self.FyT_lam(y, u, lam, i)
+                                      - self.Gy(y, u, i))
                 return newlam, newlam
 
             # k = nt-2 … 0 uses (y_{k+1}, u_{k+1}) = (ys[k], x[k+1]).
@@ -307,9 +322,39 @@ class ODEObjective(LazyObjective):
             df = jax.vmap(dfk)(ys0, x, lam, jnp.arange(nt))
             return df, lam
 
-        self._forward = jax.jit(forward)
-        self._adjoint = jax.jit(adjoint)
-        _SWEEP_CACHE[key] = (self._forward, self._adjoint)
+        # Always-batched evaluation (round 4): on TPU a SINGLE tiny-state
+        # sweep lowers its scalar-indexed step math into dozens of separate
+        # (1,)-shaped scalar-pipeline ops with per-op overhead — the fishing
+        # adjoint scan measured 6.6 ms vs 46 µs for the SAME math as a
+        # batched sweep (xplane profile, benchmarks/singletrm_trace.py).
+        # So singles run as duplicated 2-row batches of the vmapped sweeps
+        # (the PDE dense path's pattern, objectives/pde.py), and the
+        # speculative trial wave calls the K-row batch directly.  Elementwise
+        # vmap keeps every lane's arithmetic identical, so this changes no
+        # mathematical semantics; the trapezoid reduction becomes a
+        # row-reduction at K ≥ 2, which is batch-size invariant on TPU.
+        vfwd = jax.vmap(forward)
+        vadj = jax.vmap(adjoint)
+
+        def forward2(x):
+            f2, ys2 = vfwd(jnp.stack([x, x]))
+            return f2[0], ys2[0]
+
+        def adjoint2(x, ys):
+            df2, lam2 = vadj(jnp.stack([x, x]), jnp.stack([ys, ys]))
+            return df2[0], lam2[0]
+
+        self._forward = jax.jit(forward2)
+        self._adjoint = jax.jit(adjoint2)
+        self._forward_batch_ops = jax.jit(vfwd)
+        _SWEEP_CACHE[key] = (self._forward, self._adjoint,
+                             self._forward_batch_ops)
+
+    def _forward_batch_with(self, xs, ops):
+        """K-row batched forward ``xs (K, nt, nx) → (fvals (K,), ys)`` —
+        the speculative trial wave's evaluation path; rows bit-match
+        :meth:`_forward_with` (elementwise vmap + K ≥ 2 row reductions)."""
+        return self._forward_batch_ops(xs)
 
     # -- protocol hooks --------------------------------------------------------
     def eval_f_impl(self, x, cache: bool):

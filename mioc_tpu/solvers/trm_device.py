@@ -107,11 +107,10 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     (``_batched_sweeps_bitexact``).  The ``f_evals``/``inner_steps``
     counters report the SEQUENTIAL-equivalent trial count (the number the
     non-speculative loop performs), so traces stay comparable — the device
-    does K sweeps per outer iteration, but batched, which is the point: the
-    tiny-state ODE sweeps are per-op-overhead-bound (~4.6 ms/sweep at
-    fishing nt=1024 whether the state is (2,) or (K, 2) —
-    benchmarks/singletrm_trace.py), so one batched wave replaces ~4-5
-    sequential sweeps per outer iteration.
+    does K sweeps per outer iteration, but batched, which is the point:
+    one batched wave replaces ~4-5 sequential trial evaluations and chases
+    per outer iteration (fishing nt=1024: 495.4 wave vs 166.4 sequential
+    iters/s on v5e — BASELINE_SELF.md round 4).
 
     ``wave_chase`` selects how the wave extracts its trial controls:
     ``"vmap"`` (default — broadcast the tables K-fold and run the
