@@ -551,16 +551,19 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
     :func:`make_device_trm`).  Default (``None``): enabled when the
     objective declares its batched trial evaluations bit-exact per lane
     (``_batched_sweeps_bitexact``) — true for elementwise-scan ODE sweeps
-    (2.9× at fishing nt=1024 on v5e) and, since round 4, for dense-mode PDE
-    objectives, whose forward always runs through an explicit K ≥ 2 batch
-    (per-row MXU bits are batch-size invariant; objectives/pde.py) with
-    fold-tree decision reductions: heat nt=500 measures 244 iters/s vs the
-    sequential loop's 112 with bit-identical trajectories
-    (benchmarks/heat_spec_tpu.py).  Disabled for cg/mg sparse engines and
-    the convolution objective (unaligned matmul shapes): there the wave is
-    exact in exact arithmetic (bit-identical on CPU f64) but the f32
-    trajectory can drift to a different (equally certified) local optimum —
-    pass ``True`` to opt in."""
+    (fishing nt=1024: 495 wave vs 166 sequential iters/s on v5e), for
+    dense-mode PDE objectives, whose forward always runs through an
+    explicit K ≥ 2 batch (per-row MXU bits are batch-size invariant;
+    objectives/pde.py) with row-shaped decision reductions — heat nt=500
+    measures 244 iters/s vs the sequential loop's 112 with bit-identical
+    trajectories (benchmarks/heat_spec_tpu.py) — and, since round 4, for
+    the convolution objective, whose batch-shaped quadratic runs the same
+    way (46.2 vs 43.3 iters/s; models/convolution.py).  Objectives whose
+    batched sweeps are NOT declared bit-exact (e.g. ELL-format cg/mg PDE
+    engines) stay sequential by default: the wave is exact in exact
+    arithmetic (bit-identical on CPU f64) but the f32 trajectory can drift
+    to a different (equally certified) local optimum — pass ``True`` to
+    opt in."""
     from .trm import TRMParameters
 
     par = par or TRMParameters()
