@@ -33,8 +33,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BandedSpec", "pack_banded", "banded_matvec", "rcm_permutation",
-           "aligned_coarse_permutation"]
+__all__ = ["BandedSpec", "pack_banded", "banded_matvec", "banded_matvec_rows",
+           "rcm_permutation", "aligned_coarse_permutation"]
 
 
 class BandedSpec(NamedTuple):
@@ -117,3 +117,37 @@ def banded_matvec(spec: BandedSpec, blocks, x):
     )  # (R, D, cb)
     y = jnp.einsum("rdij,rdj->ri", blocks, win)
     return y.reshape(spec.R * spec.rb)[: spec.nrows]
+
+
+def banded_matvec_rows(spec: BandedSpec, blocks, xs):
+    """K-RHS form ``Y = xs @ Aᵀ`` for block-banded ``A``: ``xs (K, N) →
+    (K, nrows)``.
+
+    This is the HBM-amortizing primitive of the large-mesh PDE path: the
+    dense ``blocks`` array (the dominant memory traffic — ~30 MB per sweep
+    step at 8321 P2 dofs) is streamed from HBM ONCE for all K right-hand
+    sides, so K trial/start sweeps cost roughly one (speculative trial
+    waves and multistart over the banded engine ride this).
+
+    Layout note: the per-block contraction is arranged as
+    ``win (K, dj) @ blockᵀ (dj, i)`` — the K rows on the LHS of the MXU
+    matmul, the same shape pattern whose per-row f32 bits were measured
+    invariant across batch sizes K ≥ 2 on v5e
+    (benchmarks/pde_batch_bitexact.py), so a duplicated 2-row call
+    reproduces any wave row bit-for-bit on TPU.
+    """
+    K = xs.shape[0]
+    lo = -min(spec.offsets)
+    hi = max(spec.offsets)
+    xpad = jnp.zeros((K, (spec.R + lo + hi) * spec.cb), dtype=xs.dtype)
+    xpad = xpad.at[:, lo * spec.cb : lo * spec.cb + spec.ncols].set(xs)
+    xb = xpad.reshape(K, spec.R + lo + hi, spec.cb)
+    win = jnp.stack(
+        [xb[:, lo + d : lo + d + spec.R] for d in spec.offsets], axis=2
+    )  # (K, R, D, cb)
+    D = len(spec.offsets)
+    win2 = win.transpose(1, 0, 2, 3).reshape(spec.R, K, D * spec.cb)
+    blocks2 = blocks.transpose(0, 2, 1, 3).reshape(spec.R, spec.rb,
+                                                   D * spec.cb)
+    y = jnp.einsum("rkc,ric->kri", win2, blocks2)  # per r: (K,c)@(c,i)
+    return y.reshape(K, spec.R * spec.rb)[:, : spec.nrows]

@@ -27,7 +27,8 @@ import numpy as np
 
 from .sparse_device import ell_matvec, to_ell
 
-__all__ = ["build_mg_ops", "mg_apply", "build_mg_banded", "mg_apply_banded"]
+__all__ = ["build_mg_ops", "mg_apply", "build_mg_banded", "mg_apply_banded",
+           "mg_apply_banded_rows"]
 
 
 def build_mg_ops(meshes, fe, K_fine, dtype=np.float64):
@@ -164,6 +165,38 @@ def mg_apply_banded(static, ops, b, *, omega: float = 0.6, nu: int = 2):
         x = x + banded_matvec(S["Pspec"], L["Pblk"], ec)
         for _ in range(nu):
             x = x + omega * L["dinv"] * (b - Kmv(x))
+        return x
+
+    return cycle(0, b)
+
+
+def mg_apply_banded_rows(static, ops, b, *, omega: float = 0.6, nu: int = 2):
+    """K-row V(ν,ν) cycle: ``b (K, N) → (K, N)``, each row an independent
+    cycle through SHARED K-RHS banded operators
+    (:func:`..fem.banded_device.banded_matvec_rows` — level operator blocks
+    stream from HBM once for all K rows).  Smoothing is elementwise (row-
+    independent by construction); the coarse solve is ``b_c @ K_c⁻ᵀ`` with
+    the K rows on the matmul's LHS (the batch-invariant-row layout).  Used
+    as the CG preconditioner by the batched cg/mg PDE sweeps."""
+    from .banded_device import banded_matvec_rows
+
+    levels = ops["levels"]
+
+    def cycle(l, b):
+        if l == len(levels):
+            return b @ ops["coarse_inv"].T
+        L, S = levels[l], static[l]
+        Kmv = lambda v: banded_matvec_rows(S["Kspec"], L["Kblk"], v)
+        dinv = L["dinv"][None, :]
+        x = omega * dinv * b
+        for _ in range(nu - 1):
+            x = x + omega * dinv * (b - Kmv(x))
+        r = b - Kmv(x)
+        rc = banded_matvec_rows(S["Rspec"], L["Rblk"], r)
+        ec = cycle(l + 1, rc)
+        x = x + banded_matvec_rows(S["Pspec"], L["Pblk"], ec)
+        for _ in range(nu):
+            x = x + omega * dinv * (b - Kmv(x))
         return x
 
     return cycle(0, b)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["to_ell", "ell_matvec", "cg_solve"]
+__all__ = ["to_ell", "ell_matvec", "cg_solve", "cg_solve_rows"]
 
 
 def to_ell(mat, dtype=np.float64):
@@ -87,6 +87,49 @@ def cg_solve(matvec, b, x0, precond, iters: int):
         rz_new = jnp.vdot(r, z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = lax.scan(body, (x, r, p, rz), None, length=iters)
+    return x
+
+
+def cg_solve_rows(matvec_rows, b, x0, precond_rows, iters: int):
+    """K-row preconditioned CG: ``b/x0 (K, N)``, each row an independent
+    SPD solve through a SHARED K-RHS operator application.
+
+    This is :func:`cg_solve` with every reduction row-shaped
+    (``jnp.sum(·, axis=-1) → (K,)``) and every scalar broadcast per row —
+    no cross-row coupling anywhere, so row k's iterates depend only on row
+    k's inputs.  Combined with a K-RHS ``matvec_rows`` whose per-row bits
+    are batch-size invariant (``banded_matvec_rows``) and the measured
+    invariance of row reductions for K ≥ 2 (v5e probe, round 4), a
+    duplicated 2-row call reproduces any batched row bit-for-bit on TPU —
+    which is what lets the speculative trial wave reach the cg/mg PDE
+    engines (``objectives/pde.py``).
+
+    ``precond_rows`` is the Jacobi vector ``1/diag(A)`` (broadcast over
+    rows) or a callable ``R (K, N) -> Z (K, N)`` applying an SPD
+    preconditioner per row (e.g. :func:`..fem.multigrid.mg_apply_banded_rows`).
+    """
+    apply_pc = (precond_rows if callable(precond_rows)
+                else (lambda r: precond_rows[None, :] * r))
+    x = x0
+    r = b - matvec_rows(x)
+    z = apply_pc(r)
+    p = z
+    rz = jnp.sum(r * z, axis=-1)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec_rows(p)
+        pAp = jnp.sum(p * Ap, axis=-1)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * Ap
+        z = apply_pc(r)
+        rz_new = jnp.sum(r * z, axis=-1)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = z + beta[:, None] * p
         return (x, r, p, rz_new), None
 
     (x, _, _, _), _ = lax.scan(body, (x, r, p, rz), None, length=iters)

@@ -162,11 +162,19 @@ class HeatObj(PDEObjective):
         # Dense mode evaluates the forward sweep through an explicit K ≥ 2
         # batch (PDEObjective.forward_batch — per-row MXU bits are invariant
         # across batch sizes on TPU) and the scalar decision reductions
-        # through fold trees (ops/detred.py), so the speculative trial
-        # wave's evaluations bit-match the sequential device loop — the wave
-        # defaults ON.  The cg/mg sparse engines keep native matvecs and
-        # stay opt-in.
-        return getattr(self, "solver_mode", "dense") == "dense"
+        # through row-shaped reduces, so the speculative trial wave's
+        # evaluations bit-match the sequential device loop — the wave
+        # defaults ON.  Since round 5 the BANDED cg/mg engine does the same
+        # through the K-RHS sweep (banded_matvec_rows + cg_solve_rows +
+        # _G_rows: K rows on every matmul's LHS, row-axis reductions;
+        # singles run as duplicated 2-row batches), verified bit-identical
+        # sequential-vs-wave on chip (benchmarks/heat_spec_tpu.py --banded).
+        # The ELL engine keeps native matvecs and stays opt-in.
+        mode = getattr(self, "solver_mode", "dense")
+        return mode == "dense" or (
+            mode in ("cg", "mg")
+            and getattr(self, "sparse_format", "ell") == "banded"
+        )
 
     def _mass_apply(self, v):
         if getattr(self, "solver_mode", "dense") == "dense":
@@ -185,6 +193,23 @@ class HeatObj(PDEObjective):
     def G(self, y, u, i):
         v = y - self.yd
         return 0.5 * v @ self._mass_apply(v)
+
+    def _G_rows(self, ys, uu, t_idx):
+        # Row-shaped running cost for the K-RHS banded sweep
+        # (PDEObjective._G_rows contract): mass applied to all rows through
+        # one streaming of the M blocks, row-axis reductions only.
+        mode = getattr(self, "solver_mode", "dense")
+        v = ys - self.yd[None, :]
+        if mode == "dense":
+            mv = v @ self._Mj.T
+        elif self.sparse_format == "banded":
+            from ..fem.banded_device import banded_matvec_rows
+
+            mv = banded_matvec_rows(self._Mspec, self._Mblk, v)
+        else:
+            return super()._G_rows(ys, uu, t_idx)
+        return (0.5 * jnp.sum(v * mv, axis=-1)
+                + self.gamma * jnp.sum(uu, axis=-1))
 
     def G_t(self, u, i):
         return self.gamma * jnp.sum(u)

@@ -242,6 +242,17 @@ class PDEObjective(LazyObjective):
     def Gu(self, u, i):
         return jax.grad(lambda uu: self.G_t(uu, i))(u)
 
+    def _G_rows(self, ys, uu, t_idx):
+        """Row-batched running cost ``(Krows, N), (Krows, nx), (Krows,) →
+        (Krows,)``: default falls back to a vmap of the scalar hooks.
+        Objectives on the banded cg/mg engine should override it with an
+        explicitly row-shaped form (K rows on every matmul's LHS, row-axis
+        reductions) so the batched sweep's per-row bits match the duplicated
+        2-row single evaluation on TPU — see ``HeatObj._G_rows``."""
+        return jax.vmap(
+            lambda y, u_, t_: self.G(y, u_, t_) + self.G_t(u_, t_)
+        )(ys, uu, t_idx)
+
     # -- device-operator plumbing ---------------------------------------------
     # Subclasses append the names of any device arrays their cost hooks read
     # (e.g. a mass matrix); those are threaded into the jitted sweeps as
@@ -297,12 +308,13 @@ class PDEObjective(LazyObjective):
         tau, nt = self.tau, self.nt
         mode = getattr(self, "solver_mode", "dense")
         cg_mode = mode in ("cg", "mg")
+        banded = cg_mode and getattr(self, "sparse_format", "ell") == "banded"
         if cg_mode:
-            from ..fem.sparse_device import cg_solve, ell_matvec
+            from ..fem.sparse_device import cg_solve, cg_solve_rows, ell_matvec
 
             cg_iters = self.cg_iters
-            if getattr(self, "sparse_format", "ell") == "banded":
-                from ..fem.banded_device import banded_matvec
+            if banded:
+                from ..fem.banded_device import banded_matvec, banded_matvec_rows
 
                 Kspec, Mspec = self._Kspec, self._Mspec
                 make_K = lambda ops: (
@@ -311,15 +323,29 @@ class PDEObjective(LazyObjective):
                 make_M = lambda ops: (
                     lambda v: banded_matvec(Mspec, ops["_Mblk"], v)
                 )
+                # K-RHS forms: the operator blocks (the sweeps' dominant HBM
+                # traffic) stream once for ALL rows — what amortizes the
+                # large-mesh sweep over speculative trials and starts.
+                make_K_rows = lambda ops: (
+                    lambda v: banded_matvec_rows(Kspec, ops["_Kblk"], v)
+                )
+                make_M_rows = lambda ops: (
+                    lambda v: banded_matvec_rows(Mspec, ops["_Mblk"], v)
+                )
                 if mode == "mg":
-                    from ..fem.multigrid import mg_apply_banded
+                    from ..fem.multigrid import mg_apply_banded, mg_apply_banded_rows
 
                     mg_static = self._mg_static
                     make_pc = lambda ops: (
                         lambda r: mg_apply_banded(mg_static, ops["_mg_ops"], r)
                     )
+                    make_pc_rows = lambda ops: (
+                        lambda r: mg_apply_banded_rows(mg_static,
+                                                       ops["_mg_ops"], r)
+                    )
                 else:
                     make_pc = lambda ops: ops["_dinv"]
+                    make_pc_rows = lambda ops: ops["_dinv"]
             else:
                 make_K = lambda ops: (
                     lambda v: ell_matvec(ops["_Kv"], ops["_Kc"], v)
@@ -349,6 +375,45 @@ class PDEObjective(LazyObjective):
         # end-to-end).  Scalar decision reductions (trapezoid, TV, pred)
         # use the same pattern: always-row-shaped reduces whose bits are
         # batch-size invariant for K ≥ 2 (ops/tv.py, trm_device._iv_rows).
+        # K-RHS banded sweep (cg/mg × banded): every implicit-Euler step
+        # solves K independent systems through ONE streaming of the banded
+        # operator blocks (banded_matvec_rows) — at 8321 P2 dofs the blocks
+        # are ~30 MB/spmv and utterly dominate the sweep, so K trials or
+        # starts cost roughly one (VERDICT r4 item 2; the reference's LU
+        # design, PDEObjective.jl:129-156, cannot run this size at all).
+        # Row-shaped reductions + K-on-LHS matmul layouts throughout, so a
+        # duplicated 2-row call reproduces any row's bits on TPU (the same
+        # contract as the dense batch below).
+        @jax.jit
+        def forward_batch_banded(xs, ops):  # xs (K, nt, nx), K ≥ 2
+            with self._bound(ops), jax.default_matmul_precision("highest"):
+                Kmvr = make_K_rows(ops)
+                Mmvr = make_M_rows(ops)
+                pcr = make_pc_rows(ops)
+                FdevT = ops["_Fdev"].T
+                Kb = xs.shape[0]
+                N = self.Nglobal_dofs
+                y0 = jnp.broadcast_to(jnp.asarray(self.state0)[None], (Kb, N))
+
+                def step(y, u_t):  # y (K, N), u_t (K, nx)
+                    rhs = Mmvr(y) + tau * (u_t @ FdevT)
+                    ynew = cg_solve_rows(Kmvr, rhs, y, pcr, cg_iters)
+                    return ynew, ynew
+
+                _, ys = lax.scan(step, y0, xs.transpose(1, 0, 2))
+                ys_all = jnp.concatenate([y0[None], ys])        # (nt+1, K, N)
+                ys_all = ys_all.transpose(1, 0, 2)              # (K, nt+1, N)
+
+                u_idx = jnp.minimum(jnp.arange(nt + 1), nt - 1)
+                uu = xs[:, u_idx]                               # (K, nt+1, nx)
+                t_idx = jnp.tile(jnp.arange(nt + 1), Kb)
+                gvals = self._G_rows(
+                    ys_all.reshape(Kb * (nt + 1), N),
+                    uu.reshape(Kb * (nt + 1), self.nx),
+                    t_idx).reshape(Kb, nt + 1)
+                w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
+                return tau * jnp.sum(w[None] * gvals, axis=-1), ys_all
+
         @jax.jit
         def forward_batch(xs, ops):  # xs (K, nt, nx), K ≥ 2
             with self._bound(ops), jax.default_matmul_precision("highest"):
@@ -384,7 +449,14 @@ class PDEObjective(LazyObjective):
         def forward(x, ops):
             with self._bound(ops), jax.default_matmul_precision("highest"):
                 M_invF = ops["M_invF"]
-                if cg_mode:
+                if banded:
+                    # Route through the duplicated 2-row K-RHS batch: same
+                    # function as the speculative wave's K-row sweeps, and
+                    # at the banded engine's HBM bound a 2-row sweep costs
+                    # the same operator traffic as one.
+                    fvals, ys_b = forward_batch_banded(jnp.stack([x, x]), ops)
+                    return fvals[0], ys_b[0]
+                elif cg_mode:
                     Kmv, Mmv, pc = make_K(ops), make_M(ops), make_pc(ops)
 
                     # y_k = K⁻¹(M y_{k-1} + τ F u_{k-1}) ≡ S⁻¹(y + τ M⁻¹F u),
@@ -476,7 +548,12 @@ class PDEObjective(LazyObjective):
 
         self._forward_ops = forward
         self._adjoint_ops = adjoint
-        self._forward_batch_ops = forward_batch if not cg_mode else None
+        if banded:
+            self._forward_batch_ops = forward_batch_banded
+        elif not cg_mode:
+            self._forward_batch_ops = forward_batch
+        else:
+            self._forward_batch_ops = None
         _SWEEP_CACHE[key] = (forward, adjoint, self._forward_batch_ops)
 
     # Uniform sweep API used by solvers/parallel code.
@@ -495,8 +572,9 @@ class PDEObjective(LazyObjective):
     def _forward_batch_with(self, xs, ops):
         """Batched forward sweep ``xs (K, nt, nx) → (fvals (K,), ys (K, …))``
         whose per-row bits equal :meth:`_forward_with` on the same control
-        (dense mode; the speculative trial wave's evaluation path).  ``None``
-        in cg/mg modes — callers fall back to ``jax.vmap``."""
+        (dense mode and the banded cg/mg engine; the speculative trial
+        wave's evaluation path).  ``None`` for the ELL cg/mg engine —
+        callers fall back to ``jax.vmap``."""
         if self._forward_batch_ops is None:
             return None
         return self._forward_batch_ops(xs, ops)

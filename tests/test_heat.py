@@ -178,6 +178,115 @@ def test_banded_matvec_rectangular():
     )
 
 
+def test_banded_matvec_rows_matches_single():
+    """K-RHS banded matvec (the large-mesh wave/multistart primitive): each
+    row equals the single matvec, square K and rectangular P alike."""
+    import scipy.sparse as sp
+
+    from mioc_tpu.fem.banded_device import (
+        banded_matvec, banded_matvec_rows, pack_banded, rcm_permutation,
+    )
+
+    rng = np.random.default_rng(6)
+    # SPD-ish banded square matrix.
+    N = 200
+    diags = [rng.normal(size=N - abs(d)) for d in range(-5, 6)]
+    A = sp.diags(diags, list(range(-5, 6))).tocsr()
+    perm = rcm_permutation(A)
+    Ap = A[perm][:, perm]
+    spec, blk = pack_banded(Ap, rb=16, dtype=np.float64)
+    # Rectangular (prolongation-like).
+    rows, cols, vals = [], [], []
+    for i in range(300):
+        for j in range(max(0, i // 4 - 2), min(75, i // 4 + 3)):
+            rows.append(i); cols.append(j); vals.append(rng.normal())
+    P = sp.csr_matrix((vals, (rows, cols)), shape=(300, 75))
+    pspec, pblk = pack_banded(P, rb=16, dtype=np.float64)
+
+    for sp_, bl_, mat, ncols in ((spec, blk, Ap, N), (pspec, pblk, P, 75)):
+        xs = rng.normal(size=(4, ncols))
+        ys = np.asarray(banded_matvec_rows(sp_, jnp.asarray(bl_),
+                                           jnp.asarray(xs)))
+        for k in range(4):
+            np.testing.assert_allclose(
+                ys[k],
+                np.asarray(banded_matvec(sp_, jnp.asarray(bl_),
+                                         jnp.asarray(xs[k]))),
+                rtol=1e-12 if F64 else 1e-4, atol=1e-13 if F64 else 1e-5)
+            np.testing.assert_allclose(ys[k], mat @ xs[k],
+                                       rtol=1e-11 if F64 else 1e-3,
+                                       atol=1e-12 if F64 else 1e-4)
+
+
+def test_cg_solve_rows_matches_single():
+    """Row-batched CG: each row solves its own system through the shared
+    K-RHS operator, matching the single-vector CG to solver precision."""
+    import scipy.sparse as sp
+
+    from mioc_tpu.fem.banded_device import (
+        banded_matvec, banded_matvec_rows, pack_banded,
+    )
+    from mioc_tpu.fem.sparse_device import cg_solve, cg_solve_rows
+
+    rng = np.random.default_rng(7)
+    N = 160
+    B = sp.diags([rng.normal(size=N - abs(d)) for d in range(-3, 4)],
+                 list(range(-3, 4)))
+    A = (B.T @ B + 10.0 * sp.eye(N)).tocsr()  # SPD, well-conditioned
+    spec, blk = pack_banded(A, rb=16, dtype=np.float64)
+    blk = jnp.asarray(blk)
+    dinv = jnp.asarray(1.0 / A.diagonal())
+    bs = rng.normal(size=(3, N))
+    mv1 = lambda v: banded_matvec(spec, blk, v)
+    mvr = lambda v: banded_matvec_rows(spec, blk, v)
+    xs = np.asarray(cg_solve_rows(mvr, jnp.asarray(bs),
+                                  jnp.zeros_like(jnp.asarray(bs)), dinv, 60))
+    for k in range(3):
+        x1 = np.asarray(cg_solve(mv1, jnp.asarray(bs[k]),
+                                 jnp.zeros(N), dinv, 60))
+        np.testing.assert_allclose(xs[k], x1, rtol=1e-8 if F64 else 1e-3,
+                                   atol=1e-9 if F64 else 1e-4)
+        # And each row actually solves its system.
+        r = bs[k] - A @ xs[k]
+        assert np.linalg.norm(r) / np.linalg.norm(bs[k]) < (
+            1e-10 if F64 else 1e-4)
+
+
+def test_pde_forward_batch_rows_match_single_banded():
+    """Banded cg/mg K-RHS forward (`forward_batch_banded`): the speculative
+    wave's evaluation path on the large-mesh engine.  Singles route through a
+    duplicated 2-row batch of the same function, so rows must agree — BIT-
+    equal on TPU (K-on-LHS matmul layouts + row reductions), rounding-level
+    on CPU."""
+    import jax
+
+    from mioc_tpu.models.heat import HeatObj, construct_mesh_hierarchy
+    from mioc_tpu.utils.init import rand_func
+
+    hier = construct_mesh_hierarchy(refinements=2)
+    obj = HeatObj(nt=20, mesh_hierarchy=hier, solver="mg", cg_iters=8,
+                  sparse_format="banded")
+    assert obj._batched_sweeps_bitexact
+    ops = obj._sweep_ops()
+    us = jnp.stack([jnp.asarray(rand_func(obj, seed=s), obj.dtype)
+                    for s in range(4)])
+    fvals, ys = obj._forward_batch_with(us, ops)
+    assert fvals.shape == (4,) and ys.shape[0] == 4
+    exact = jax.devices()[0].platform == "tpu"
+    for k in range(4):
+        f1, y1 = obj._forward_with(us[k], ops)
+        if exact:
+            np.testing.assert_array_equal(np.asarray(fvals[k]),
+                                          np.asarray(f1))
+            np.testing.assert_array_equal(np.asarray(ys[k]), np.asarray(y1))
+        else:
+            np.testing.assert_allclose(np.asarray(fvals[k]), np.asarray(f1),
+                                       rtol=1e-12 if F64 else 1e-5)
+            np.testing.assert_allclose(np.asarray(ys[k]), np.asarray(y1),
+                                       rtol=1e-11 if F64 else 1e-4,
+                                       atol=1e-12 if F64 else 1e-4)
+
+
 def test_pde_forward_batch_rows_match_single():
     """The batch-shaped dense forward (`_forward_batch_with`) is the
     speculative wave's evaluation path.  On TPU its rows are BIT-equal to

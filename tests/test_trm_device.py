@@ -176,6 +176,19 @@ def test_speculative_halving_matches_sequential():
         cases.append(
             (ConvObj, dict(nt=256), TRMParameters(beta=1e-4, p=1, delta0=0.125))
         )
+        # Banded-MG heat (round 5): the K-RHS sweep makes the wave reach
+        # the large-mesh cg/mg engine; on CPU f64 the wave's K-row and the
+        # sequential loop's 2-row-duplicated evaluations agree to rounding,
+        # which is enough for identical trajectories at this size (on TPU
+        # they are bit-equal — benchmarks/heat_spec_tpu.py --banded).
+        from mioc_tpu.models.heat import construct_mesh_hierarchy
+
+        _hier = construct_mesh_hierarchy(refinements=1)
+        cases.append(
+            (lambda **kw: HeatObj(mesh_hierarchy=_hier, solver="mg",
+                                  cg_iters=8, sparse_format="banded", **kw),
+             dict(nt=24), TRMParameters(beta=1e-3, p=2, delta0=2.0))
+        )
     for cls, kw, params in cases:
         x0 = rand_func(cls(**kw), seed=3)
         seq = trm_solve_device(cls(**kw), params, x0=x0, speculative=False)
