@@ -255,8 +255,9 @@ def host_cpu_rates(timeout=420):
 
 
 def multistart_ms_per_solve(S=32, nt=1024, use_pallas=None, speculative=None,
-                            reps=3):
-    """Batched ×32 fishing multistart: wall ms per solve, warm best-of-reps.
+                            reps=3, problem="fishing", outer_chunk=None,
+                            factory_kw=None):
+    """Batched multistart: wall ms per solve, warm best-of-reps.
     Defaults drive the production path (fused Pallas kernels + speculative
     trial waves on TPU); ``use_pallas=False, speculative=False`` measures the
     round-1-style scan-DP sequential-inner-loop baseline in the SAME run
@@ -268,12 +269,13 @@ def multistart_ms_per_solve(S=32, nt=1024, use_pallas=None, speculative=None,
     from mioc_tpu.solvers.trm_device import multistart_solve_device
     from mioc_tpu.utils.init import rand_func
 
-    spec = registry.get("fishing")
-    obj = spec.factory(nt=nt)
+    spec = registry.get(problem)
+    obj = spec.factory(nt=nt, **(factory_kw or {}))
     par = TRMParameters(**spec.preset)
     x0s = np.stack([np.asarray(rand_func(obj, seed=s)) for s in range(S)])
 
-    kw = dict(use_pallas=use_pallas, speculative=speculative)
+    kw = dict(use_pallas=use_pallas, speculative=speculative,
+              outer_chunk=outer_chunk)
     multistart_solve_device(obj, par, x0s, **kw)  # compile + warm
     best = float("inf")
     for _ in range(reps):
@@ -282,7 +284,7 @@ def multistart_ms_per_solve(S=32, nt=1024, use_pallas=None, speculative=None,
         best = min(best, time.perf_counter() - t0)
     conv = int(np.sum(np.asarray(res.converged)))
     if conv != S:
-        _note(f"multistart: only {conv}/{S} starts converged")
+        _note(f"multistart {problem}: only {conv}/{S} starts converged")
     return best * 1e3 / S
 
 
@@ -427,6 +429,38 @@ def main():
             _note(f"multistart metric failed: {exc!r}")
     else:
         _note("skipping multistart metric (CPU fallback or budget exhausted)")
+
+    # ---- conv device TRM (VERDICT r4 item 6: promoted from manual
+    # singletrm_rates.py so the driver records it) ------------------------
+    if is_tpu and _left() > 300:
+        try:
+            rate, _ = trm_iters_per_s("convolution", nt=1024)
+            metrics.append({
+                "metric": "trm_iters_per_s_convolution_nt1024",
+                "value": round(rate, 2),
+                "unit": "iters/s",
+            })
+        except Exception as exc:
+            _note(f"conv TRM metric failed: {exc!r}")
+    else:
+        _note("skipping conv TRM metric (CPU fallback or budget exhausted)")
+
+    # ---- heat ×8 multistart (the flagship PDE multistart; VERDICT r4
+    # item 6) -------------------------------------------------------------
+    if is_tpu and _left() > 900:
+        try:
+            ms = multistart_ms_per_solve(S=8, nt=500, problem="heat",
+                                         outer_chunk=25, reps=2)
+            metrics.append({
+                "metric": "multistart_ms_per_solve_heat_x8",
+                "value": round(ms, 1),
+                "unit": "ms/solve",
+            })
+        except Exception as exc:
+            _note(f"heat multistart metric failed: {exc!r}")
+    else:
+        _note("skipping heat multistart metric (CPU fallback or budget "
+              "exhausted)")
 
     headline["extra"] = metrics
     headline["is_tpu"] = is_tpu

@@ -17,6 +17,8 @@ This is the DP stress configuration (nt=2048, L=5, B≈128).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,27 +58,32 @@ def _mass_mv_rows(mdiag, moff, v):
     return out
 
 
-@jax.jit
-def _conv_f_batch(xs, K, fvec, mdiag, moff):
+@partial(jax.jit, static_argnames=("precision",))
+def _conv_f_batch(xs, K, fvec, mdiag, moff, precision="highest"):
     """Batched objective ``xs (Kb, nt, 1) → (Kb,)``, ``Kb ≥ 2``.  Rows are
     bit-invariant across batch sizes on TPU (MXU matmul rows and row-dots —
     the v5e probe in benchmarks/pde_batch_bitexact.py), so the speculative
     trial wave's evaluations bit-match the single objective, which routes
-    through a duplicated 2-row batch of this same function.  Full-f32 MXU
-    precision: the TPU default (bf16 passes) costs ~1e-3 relative on f."""
-    with jax.default_matmul_precision("highest"):
+    through a duplicated 2-row batch of this same function.  ``precision``
+    sets the MXU pass count: the TPU default single-bf16-pass costs ~1e-3
+    relative on f and FAILED the on-chip FD tests (round 4); ``"highest"``
+    (6-pass) fixed them at a 57.5 → 46.2 iters/s cost; round 5 measured the
+    intermediate ``"float32"`` (3-pass) against the same tolerances — see
+    ``ConvObj.matmul_precision``."""
+    with jax.default_matmul_precision(precision):
         v = xs[:, :, 0] @ K.T - fvec[None, :]      # (Kb, nt+1)
         return 0.5 * jnp.sum(v * _mass_mv_rows(mdiag, moff, v), axis=1)
 
 
-@jax.jit
-def _conv_f(x, K, fvec, mdiag, moff):
-    return _conv_f_batch(jnp.stack([x, x]), K, fvec, mdiag, moff)[0]
+@partial(jax.jit, static_argnames=("precision",))
+def _conv_f(x, K, fvec, mdiag, moff, precision="highest"):
+    return _conv_f_batch(jnp.stack([x, x]), K, fvec, mdiag, moff,
+                         precision=precision)[0]
 
 
-@jax.jit
-def _conv_df(x, K, fvec, mdiag, moff):
-    with jax.default_matmul_precision("highest"):
+@partial(jax.jit, static_argnames=("precision",))
+def _conv_df(x, K, fvec, mdiag, moff, precision="highest"):
+    with jax.default_matmul_precision(precision):
         v = K @ x[:, 0] - fvec
         return (K.T @ _mass_mv(mdiag, moff, v))[:, None]
 
@@ -100,8 +107,16 @@ class ConvObj(LazyObjective):
     # benchmarks/singletrm_rates.py round 4).
     _batched_sweeps_bitexact = True
 
-    def __init__(self, nt: int = 2048, *, omega0=np.pi, dtype=None):
+    def __init__(self, nt: int = 2048, *, omega0=np.pi, dtype=None,
+                 matmul_precision: str = "highest"):
         super().__init__()
+        # MXU pass count for the K/M matmuls.  "highest" (6 bf16 passes =
+        # full f32) is the verified default; "float32" (3 passes) was
+        # measured in round 5 against the on-chip FD-gradient and
+        # quadratic-exactness tolerances — see benchmarks/conv_precision.py
+        # and BASELINE_SELF.md for the verdict.  Part of _params_key, so
+        # compiled-solver caches never mix precisions.
+        self.matmul_precision = str(matmul_precision)
         self.T0, self.T1 = -1.0, 1.0
         self.nt = int(nt)
         self.tau = (self.T1 - self.T0) / self.nt
@@ -145,30 +160,35 @@ class ConvObj(LazyObjective):
         return self.K, self.fvec, self._Mdiag, self._Moff
 
     def eval_f_impl(self, x, cache: bool):
-        return _conv_f(x, *self._args()), None
+        return _conv_f(x, *self._args(),
+                       precision=self.matmul_precision), None
 
     def eval_df_impl(self):
-        return _conv_df(self.x, *self._args())
+        return _conv_df(self.x, *self._args(),
+                        precision=self.matmul_precision)
 
     # Pure sweep API for batched/parallel drivers.
     def _forward(self, x):
-        return _conv_f(x, *self._args()), None
+        return _conv_f(x, *self._args(),
+                       precision=self.matmul_precision), None
 
     def _adjoint(self, x, aux):
-        return _conv_df(x, *self._args()), None
+        return _conv_df(x, *self._args(),
+                        precision=self.matmul_precision), None
 
     def _sweep_ops(self):
         return self._args()
 
     def _forward_with(self, x, ops):
-        return _conv_f(x, *ops), None
+        return _conv_f(x, *ops, precision=self.matmul_precision), None
 
     # Marker consumed by the device TRM's speculative wave (trm_device.py):
     # a batch-shaped forward whose rows bit-match the single evaluation.
     _forward_batch_ops = True
 
     def _forward_batch_with(self, xs, ops):
-        return _conv_f_batch(xs, *ops), None
+        return _conv_f_batch(xs, *ops,
+                             precision=self.matmul_precision), None
 
     def _adjoint_with(self, x, aux, ops):
-        return _conv_df(x, *ops), None
+        return _conv_df(x, *ops, precision=self.matmul_precision), None

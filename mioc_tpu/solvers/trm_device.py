@@ -63,10 +63,26 @@ def _iv_rows(grad, u_old, us):
     return jnp.sum(grad[None] * (u_old[None] - us), axis=(1, 2))
 
 
+def _guarded(cond_fn, body_fn):
+    """Guarded loop step: apply ``body_fn`` only while ``cond_fn`` holds,
+    else pass the carry through unchanged (a full-carry select).  Chains of
+    these inside ONE ``while_loop`` iteration trade per-iteration loop
+    overhead (condition sync + iteration boundary) for masked over-compute —
+    results are bit-identical to the step-per-iteration loop by
+    construction, since masked steps select the old carry exactly."""
+    def step(c):
+        cn = body_fn(c)
+        act = cond_fn(c)
+        return jax.tree_util.tree_map(
+            lambda old, new: jnp.where(act, new, old), c, cn)
+    return step
+
+
 def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                     outer_chunk=None, speculative: bool = False,
                     dp_backend: Optional[str] = None, mesh=None,
-                    wave_chase: str = "vmap"):
+                    wave_chase: str = "vmap", outer_unroll: int = 1,
+                    inner_unroll: int = 1):
     """Build a jitted ``solve(x0) -> DeviceTRMResult`` for ``obj`` with
     parameters ``par`` (a TRMParameters).  The returned function contains the
     full TRM; vmap it for batched multistart — with ``use_pallas`` both fused
@@ -117,7 +133,15 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     sublane-parallel batched chase kernel; wins for single solves) or
     ``"trials"`` (stream the shared U planes once through the trial-wave
     kernel; the multistart form, and the PDE-objective preference via
-    ``_wave_chase_default``) — measured trade in BASELINE_SELF.md."""
+    ``_wave_chase_default``) — measured trade in BASELINE_SELF.md.
+
+    ``outer_unroll``/``inner_unroll`` run that many GUARDED outer bodies /
+    inner trials per ``while_loop`` iteration (each step is a full-carry
+    select that no-ops once its condition fails, so results are
+    bit-identical to the unrolled=1 loop): the round-4 profile attributed
+    ~60% of ×32 multistart device time to while-loop self time — one
+    condition sync per N steps amortizes exactly that, at the price of up
+    to N−1 masked steps of over-compute at each loop's tail."""
     adm = obj.admissible
     if adm is None or adm.L == 0:
         raise ValueError("Objective has no admissible integer level combinations.")
@@ -391,14 +415,34 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                   jnp.asarray(0.0, u_old.dtype), jnp.asarray(1.0, u_old.dtype),
                   jnp.bool_(False), u_old, ys_old, J_old, TV_old, u_cand,
                   J_ret, stop, inner_total, f_evals)
+            if inner_unroll > 1:
+                g = _guarded(inner_cond, inner_body)
+
+                def inner_chunk(t):
+                    for _ in range(inner_unroll):
+                        t = g(t)
+                    return t
+
+                inner_run = lambda: jax.lax.while_loop(inner_cond, inner_chunk,
+                                                       t0)
+            else:
+                inner_run = lambda: jax.lax.while_loop(inner_cond, inner_body,
+                                                       t0)
             (k, _, ared, pred, done, u_old, ys_old, J_old, TV_old, u_cand,
-             J_ret, stop, inner_total, f_evals) = jax.lax.while_loop(
-                inner_cond, inner_body, t0
-            )
+             J_ret, stop, inner_total, f_evals) = inner_run()
             return (u_old, ys_old, J_old, TV_old, u_cand, J_ret, stop, it + 1,
                     inner_total, f_evals, df_evals, dp_builds)
 
         body = outer_body_speculative if speculative else outer_body
+        if outer_unroll > 1:
+            g = _guarded(outer_cond, body)
+
+            def chunk(c):
+                for _ in range(outer_unroll):
+                    c = g(c)
+                return c
+
+            return jax.lax.while_loop(outer_cond, chunk, c0)
         return jax.lax.while_loop(outer_cond, body, c0)
 
     def finalize(c):
@@ -434,7 +478,8 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     cache_key = (
         type(obj), _params_key(obj), beta, sigma, p, kmax, maxiter, delta0,
         bool(par.compat_pinf), bool(use_pallas), bool(speculative),
-        dp_backend, mesh_sig, wave_chase,
+        dp_backend, mesh_sig, wave_chase, int(outer_unroll),
+        int(inner_unroll),
     )
     jits = _DEVICE_TRM_CACHE.get(cache_key)
     if jits is None:
@@ -528,7 +573,8 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
                      use_pallas: Optional[bool] = None,
                      outer_chunk="auto", progress=None,
                      speculative: Optional[bool] = None,
-                     dp_backend: Optional[str] = None, mesh=None):
+                     dp_backend: Optional[str] = None, mesh=None,
+                     outer_unroll: int = 1, inner_unroll: int = 1):
     """One device-resident TRM solve; returns a host-side summary dict plus
     the accepted control (single readback at the end — or one two-scalar
     readback per ``outer_chunk`` iterations when segmenting).
@@ -588,7 +634,9 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
                           outer_chunk=outer_chunk, speculative=speculative,
                           dp_backend=dp_backend, mesh=mesh,
                           wave_chase=getattr(obj, "_wave_chase_default",
-                                             "vmap"))
+                                             "vmap"),
+                          outer_unroll=outer_unroll,
+                          inner_unroll=inner_unroll)
     on_segment = None
     if par.checkpoint_path and outer_chunk:
         from ..utils.io import save_checkpoint
@@ -616,7 +664,9 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
 def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
                             outer_chunk=None, progress=None,
                             speculative: Optional[bool] = None,
-                            dp_backend: Optional[str] = None):
+                            dp_backend: Optional[str] = None,
+                            outer_unroll: Optional[int] = None,
+                            inner_unroll: Optional[int] = None):
     """Batched multistart: vmap the device TRM over ``x0s (S, nt, nx)``;
     every start runs its own accept/halve schedule in lockstep hardware.
     Returns the vmapped DeviceTRMResult (one readback).  The fused Pallas DP
@@ -660,10 +710,15 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
             else pallas_supported()
     if speculative is None:
         speculative = bool(getattr(obj, "_speculative_multistart", False))
+    if outer_unroll is None:
+        outer_unroll = 1
+    if inner_unroll is None:
+        inner_unroll = 1
     run = make_device_trm(obj, par, use_pallas=use_pallas,
                           speculative=speculative,
                           dp_backend=dp_backend, mesh=mesh,
-                          wave_chase="trials")
+                          wave_chase="trials", outer_unroll=outer_unroll,
+                          inner_unroll=inner_unroll)
     levels, jump, sweep_ops = run.operands
     x0s = jnp.asarray(x0s, dtype=levels.dtype)
 

@@ -111,6 +111,47 @@ def main():
         print(f"multihost worker {pid}/{nproc} combined-mesh full solve OK",
               flush=True)
 
+        # Time-axis (sequence-parallel) temporal DP whose CHUNK axis spans
+        # all processes (VERDICT r4 item 7 — the one parallel axis the DCN
+        # cluster had not carried): each process composes the chunk
+        # operators it owns, the boundary sweep runs on the cross-process
+        # all_gather of the operator band, and the recovered suffix tables
+        # must equal the locally-computed unsharded tables shard-for-shard.
+        from jax.sharding import NamedSharding, PartitionSpec as P2
+
+        from mioc_tpu.ops.bellman import max_budget_use, stage_tables
+        from mioc_tpu.ops.levels import jump_cost_table
+        from mioc_tpu.parallel.temporal import (
+            temporal_tables,
+            temporal_tables_sharded,
+        )
+
+        adm = obj.admissible
+        levels_t = jnp.asarray(adm.levels, jnp.float64)
+        jump_t = jnp.asarray(
+            jump_cost_table(np.asarray(adm.levels), p=np.inf, beta=1e-4))
+        rng = np.random.default_rng(7)
+        grad_t = jnp.asarray(rng.normal(size=(obj.nt, obj.nx)))
+        u_old_t = jnp.asarray(
+            np.asarray(adm.levels)[rng.integers(0, adm.L, size=obj.nt)])
+        stage_t, btilde_t = stage_tables(grad_t, u_old_t, levels_t, obj.tau)
+        B_t, smax_t = 8, max_budget_use(adm.levels)
+
+        mesh_t = make_device_mesh(batch=nproc, level=1)
+        rep = NamedSharding(mesh_t, P2())
+        tts = jax.jit(lambda s, b, j: temporal_tables_sharded(
+            s, b, j, B_t, smax_t, mesh_t, axis="batch"))
+        phis_sh = tts(jax.device_put(stage_t, rep),
+                      jax.device_put(btilde_t, rep),
+                      jax.device_put(jump_t, rep))
+        phis_ref = np.asarray(
+            temporal_tables(stage_t, btilde_t, jump_t, B_t, smax_t))
+        for shard in phis_sh.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(shard.data),
+                                          phis_ref[shard.index])
+        print(f"multihost worker {pid}/{nproc} cross-process time axis OK",
+              flush=True)
+
     print(f"multihost worker {pid}/{nproc} OK", flush=True)
 
 

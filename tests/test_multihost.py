@@ -84,3 +84,7 @@ def test_four_process_combined_mesh_full_solve():
     outs = _run_cluster(4)
     for pid, out in enumerate(outs):
         assert f"multihost worker {pid}/4 combined-mesh full solve OK" in out
+        # Sequence-parallel stage: the temporal DP's chunk axis spans all
+        # four processes; suffix tables equal the unsharded ones per shard
+        # (VERDICT r4 item 7).
+        assert f"multihost worker {pid}/4 cross-process time axis OK" in out

@@ -209,6 +209,37 @@ def test_speculative_halving_matches_sequential():
                 np.asarray(getattr(seq, field)), rtol=J_RTOL, err_msg=field)
 
 
+def test_loop_unroll_matches_baseline():
+    """Guarded loop unrolling (outer_unroll/inner_unroll — one condition
+    sync per N steps, masked steps select the old carry) must be
+    bit-identical to the step-per-iteration loops, single-start and
+    multistart, sequential and speculative."""
+    par = TRMParameters(beta=1e-4, p=np.inf, delta0=2.0)
+    x0 = rand_func(LVMObj(nt=240), seed=5)
+    base = trm_solve_device(LVMObj(nt=240), par, x0=x0, speculative=False)
+    for ou, iu, spec_ in ((2, 2, False), (4, 1, False), (3, 1, True)):
+        r = trm_solve_device(LVMObj(nt=240), par, x0=x0, speculative=spec_,
+                             outer_unroll=ou, inner_unroll=iu)
+        np.testing.assert_array_equal(np.asarray(r.u), np.asarray(base.u),
+                                      err_msg=f"ou={ou} iu={iu} spec={spec_}")
+        for field in ("converged", "iterations", "inner_steps", "f_evals",
+                      "df_evals", "dp_builds"):
+            assert np.asarray(getattr(r, field)) == np.asarray(
+                getattr(base, field)), (field, ou, iu, spec_)
+        np.testing.assert_allclose(np.asarray(r.J), np.asarray(base.J),
+                                   rtol=J_RTOL)
+
+    obj = LVMObj(nt=200)
+    x0s = np.stack([rand_func(obj, seed=s) for s in range(3)])
+    mbase = multistart_solve_device(obj, par, x0s)
+    for ou, iu in ((2, 2), (4, 1)):
+        m = multistart_solve_device(obj, par, x0s, outer_unroll=ou,
+                                    inner_unroll=iu)
+        np.testing.assert_array_equal(np.asarray(m.u), np.asarray(mbase.u))
+        np.testing.assert_array_equal(np.asarray(m.iterations),
+                                      np.asarray(mbase.iterations))
+
+
 def test_speculative_multistart_matches_sequential_multistart():
     """Speculative trial waves composed with batched multistart (VERDICT r3
     item 1): every start's accepted control, counters, and objective must
