@@ -41,6 +41,19 @@ def _round_up(x, m):
 
 _CHUNK_KIB = int(__import__("os").environ.get("MIOC_PALLAS_CHUNK_KIB", 2048))
 
+# Build-kernel variant knob for the SINGLE (unbatched) build — benchmark
+# instrumentation for the heat-shape SoL attribution (VERDICT r4 item 4;
+# benchmarks/dp_census.py).  Read once at import; one process per variant.
+#   "full"       — production kernel (default);
+#   "nocontract" — ablation: skip the min-plus contraction (val = Φ row 0);
+#   "noshift"    — ablation: skip the budget-shift select chain;
+#   "jb"         — candidate win: the per-j jump-column lane broadcasts
+#                  (Lp, 1) → (Lp, Bp) are hoisted OUT of the time loop into
+#                  a precomputed (L, Lp, Bp) operand streamed from XLA.
+# Ablations are semantically WRONG (U/Φ are garbage) — they exist to
+# attribute device time to op groups; "jb" is exact and promotable.
+_DP_VARIANT = __import__("os").environ.get("MIOC_DP_VARIANT", "full")
+
 
 def _chunk_size(nsteps: int, Lp: int, Bp: int, S: int = 1) -> int:
     """U-streaming chunk length: ≤ ~2 MB per double-buffer slot (tunable via
@@ -83,7 +96,7 @@ def pallas_supported() -> bool:
 def _dp_kernel(
     stage_ref,    # (nt, Lp) f32, VMEM
     btilde_ref,   # (nt, Lp) i32, VMEM
-    jump_ref,     # (Lp, Lp) f32, VMEM
+    jump_ref,     # (Lp, Lp) f32, VMEM — OR (L, Lp, Bp) broadcast planes ("jb")
     U_hbm_ref,    # out 0: (nchunks*K, Lp, Bp) i32, HBM (streamed per chunk)
     phi0_ref,     # out 1: (Lp, Bp) f32, VMEM
     u_buf_ref,    # scratch: (2, K, Lp, Bp) i32 — double-buffered chunk
@@ -94,6 +107,7 @@ def _dp_kernel(
     smax: int,
     K: int,
     unroll: int = 1,
+    variant: str = "full",
 ):
     Lp, Bp = phi0_ref.shape
     b_lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, Bp), 1)
@@ -119,24 +133,40 @@ def _dp_kernel(
         i = nsteps - 1 - i_rev  # sweep i = nt-2 … 0
 
         # Tropical contraction with running argmin over successor j (< L).
-        val = phi[0, :][None, :] + jump_ref[:, 0][:, None]
-        arg = jnp.zeros((Lp, Bp), jnp.int32)
-        for j in range(1, L):
-            cand = phi[j, :][None, :] + jump_ref[:, j][:, None]
-            better = cand < val
-            val = jnp.where(better, cand, val)
-            arg = jnp.where(better, j, arg)
+        if variant == "nocontract":  # ablation: no j-loop (census only)
+            val, arg = phi, jnp.zeros((Lp, Bp), jnp.int32)
+        elif variant == "jb":
+            # Jump-column broadcasts hoisted: jump_ref here is the
+            # precomputed (L, Lp, Bp) planes jump_b[j, l, :] = jump[l, j].
+            val = phi[0, :][None, :] + jump_ref[0]
+            arg = jnp.zeros((Lp, Bp), jnp.int32)
+            for j in range(1, L):
+                cand = phi[j, :][None, :] + jump_ref[j]
+                better = cand < val
+                val = jnp.where(better, cand, val)
+                arg = jnp.where(better, j, arg)
+        else:
+            val = phi[0, :][None, :] + jump_ref[:, 0][:, None]
+            arg = jnp.zeros((Lp, Bp), jnp.int32)
+            for j in range(1, L):
+                cand = phi[j, :][None, :] + jump_ref[:, j][:, None]
+                better = cand < val
+                val = jnp.where(better, cand, val)
+                arg = jnp.where(better, j, arg)
 
         # Budget shift: out[l, b] = val[l, b − b̃_l] via static lane rotations.
-        btilde_i = btilde_at(i)[:, None]  # (Lp, 1)
-        new_phi = jnp.full((Lp, Bp), _INF)
-        new_arg = jnp.zeros((Lp, Bp), jnp.int32)
-        for s in range(smax + 1):
-            v = pltpu.roll(val, s, 1) if s else val
-            a = pltpu.roll(arg, s, 1) if s else arg
-            sel = (btilde_i == s) & (b_lane >= s)
-            new_phi = jnp.where(sel, v, new_phi)
-            new_arg = jnp.where(sel, a, new_arg)
+        if variant == "noshift":  # ablation: no shift chain (census only)
+            new_phi, new_arg = val, arg
+        else:
+            btilde_i = btilde_at(i)[:, None]  # (Lp, 1)
+            new_phi = jnp.full((Lp, Bp), _INF)
+            new_arg = jnp.zeros((Lp, Bp), jnp.int32)
+            for s in range(smax + 1):
+                v = pltpu.roll(val, s, 1) if s else val
+                a = pltpu.roll(arg, s, 1) if s else arg
+                sel = (btilde_i == s) & (b_lane >= s)
+                new_phi = jnp.where(sel, v, new_phi)
+                new_arg = jnp.where(sel, a, new_arg)
 
         phi_next = stage_at(i)[:, None] + new_phi
 
@@ -323,8 +353,12 @@ def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
     nsteps = nt - 1
     K = _chunk_size(nsteps, Lp, Bp)
 
+    if _DP_VARIANT == "jb":
+        # Hoisted jump-broadcast planes: one XLA broadcast per build.
+        jump_p = jnp.broadcast_to(jump_p.T[:L, :, None], (L, Lp, Bp))
+
     kernel = functools.partial(_dp_kernel, nt=nt, L=L, smax=min(smax, B), K=K,
-                               unroll=unroll)
+                               unroll=unroll, variant=_DP_VARIANT)
     U, phi0 = pl.pallas_call(
         kernel,
         out_shape=(
