@@ -83,15 +83,18 @@ def main():
               f"({best * 1e3 / K:6.1f} ms/RHS)", flush=True)
 
     # -- 3. device TRM: sequential vs wave --------------------------------
+    # outer_chunk=10: an 8321-dof outer iteration now costs up to ~1.5-3 s
+    # (K-RHS sweeps), and a 25-iteration dispatch exceeded the axon
+    # execution deadline and CRASHED the worker (first round-5 attempt).
     def run(spec):
         o = make(nt, refinements, cg_iters)
         t0 = time.perf_counter()
         res = trm_solve_device(o, TRMParameters(beta=1e-3, p=2, delta0=2.0),
-                               seed=1, speculative=spec, outer_chunk=25)
+                               seed=1, speculative=spec, outer_chunk=10)
         return res, time.perf_counter() - t0
 
     results = {}
-    for name, spec in (("sequential", False), ("wave", True)):
+    for name, spec in (("wave", True), ("sequential", False)):
         res, cold = run(spec)       # includes compile
         res, warm = run(spec)       # warm
         results[name] = res

@@ -129,12 +129,14 @@ def banded_matvec_rows(spec: BandedSpec, blocks, xs):
     sides, so K trial/start sweeps cost roughly one (speculative trial
     waves and multistart over the banded engine ride this).
 
-    Layout note: the per-block contraction is arranged as
-    ``win (K, dj) @ blockᵀ (dj, i)`` — the K rows on the LHS of the MXU
-    matmul, the same shape pattern whose per-row f32 bits were measured
-    invariant across batch sizes K ≥ 2 on v5e
-    (benchmarks/pde_batch_bitexact.py), so a duplicated 2-row call
-    reproduces any wave row bit-for-bit on TPU.
+    Layout note: ``blocks`` is consumed in its NATIVE ``(R, D, rb, cb)``
+    layout via a multi-dim-contraction dot (``rdij,krdj->kri``) — an
+    earlier form that reshaped blocks to ``(R, rb, D·cb)`` inside the
+    einsum made XLA re-materialize the 30 MB operator transpose on EVERY
+    application (measured 578 vs ~290 ms per 8321-dof sweep at any K).
+    Bit-reproducibility across call sites comes from FIXED batch widths,
+    not from the contraction layout: callers pad K to a multiple of 8
+    (``objectives/pde.py``), so every evaluation lowers identically.
     """
     K = xs.shape[0]
     lo = -min(spec.offsets)
@@ -145,9 +147,5 @@ def banded_matvec_rows(spec: BandedSpec, blocks, xs):
     win = jnp.stack(
         [xb[:, lo + d : lo + d + spec.R] for d in spec.offsets], axis=2
     )  # (K, R, D, cb)
-    D = len(spec.offsets)
-    win2 = win.transpose(1, 0, 2, 3).reshape(spec.R, K, D * spec.cb)
-    blocks2 = blocks.transpose(0, 2, 1, 3).reshape(spec.R, spec.rb,
-                                                   D * spec.cb)
-    y = jnp.einsum("rkc,ric->kri", win2, blocks2)  # per r: (K,c)@(c,i)
+    y = jnp.einsum("rdij,krdj->kri", blocks, win)
     return y.reshape(K, spec.R * spec.rb)[:, : spec.nrows]

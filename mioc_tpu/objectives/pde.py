@@ -391,7 +391,22 @@ class PDEObjective(LazyObjective):
                 Mmvr = make_M_rows(ops)
                 pcr = make_pc_rows(ops)
                 FdevT = ops["_Fdev"].T
-                Kb = xs.shape[0]
+                K_in = xs.shape[0]
+                # Fixed-width batches: pad K up to a multiple of 8 with zero
+                # rows.  The on-chip probe (benchmarks/heat_banded_tpu.py)
+                # showed banded-einsum row bits VARY with the batch width
+                # (K=2 vs K=4 lowered differently), so equal-width batches
+                # are what makes the duplicated-2-row single reproduce any
+                # wave row bit-for-bit — and the K-RHS sweep is HBM-bound
+                # on the operator blocks, so width 8 costs the same as
+                # width 2 (measured: 578 vs 584 ms at 8321 dofs, nt=200).
+                # Zero rows are CG fixed points (guarded updates), never
+                # selected.
+                Kb = -(-max(K_in, 2) // 8) * 8
+                if Kb != K_in:
+                    xs = jnp.concatenate(
+                        [xs, jnp.zeros((Kb - K_in,) + xs.shape[1:],
+                                       xs.dtype)])
                 N = self.Nglobal_dofs
                 y0 = jnp.broadcast_to(jnp.asarray(self.state0)[None], (Kb, N))
 
@@ -412,7 +427,8 @@ class PDEObjective(LazyObjective):
                     uu.reshape(Kb * (nt + 1), self.nx),
                     t_idx).reshape(Kb, nt + 1)
                 w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
-                return tau * jnp.sum(w[None] * gvals, axis=-1), ys_all
+                return (tau * jnp.sum(w[None] * gvals, axis=-1)[:K_in],
+                        ys_all[:K_in])
 
         @jax.jit
         def forward_batch(xs, ops):  # xs (K, nt, nx), K ≥ 2

@@ -31,6 +31,47 @@ _INF = np.float32(np.inf)
 _BIG = np.int32(2**30)
 
 
+_CHASE_UNROLL = int(__import__("os").environ.get("MIOC_CHASE_UNROLL", 1))
+
+
+def _chase_loop(step, nsteps: int, carry0):
+    """Drive ``step(k, carry)`` for ``k = 0 … nsteps-1``, optionally with
+    manual unrolling (MIOC_CHASE_UNROLL).  Measured round 5: unroll=4 made
+    the ×32 batched chase ~7% SLOWER (15.26 vs 14.21 ms/solve) and the
+    single conv chase ~2% faster — the chase is recurrence-latency-bound,
+    not loop-overhead-bound, so the default stays 1 (knob kept for
+    experiments)."""
+    U_ = max(1, min(_CHASE_UNROLL, nsteps))
+    body = nsteps - nsteps % U_
+
+    def super_step(s, carry):
+        base = s * U_
+        for t in range(U_):
+            carry = step(base + t, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, body // U_, super_step, carry0,
+                              unroll=False)
+    if nsteps % U_:
+        carry = jax.lax.fori_loop(body, nsteps, step, carry, unroll=False)
+    return carry
+
+
+def _levels_at(levels, level_idx):
+    """``levels[level_idx]`` without the gather.  XLA lowers the row gather
+    from the tiny ``(L, M)`` table to a slow dynamic-gather fusion on TPU
+    (measured ~50 µs per ×32 chase — as long as the chase's own DMA wait
+    chain); a one-hot contraction does the same lookup as dense MXU/VPU
+    work.  Bit-exact: exactly one unit term per row, level values are small
+    integers (exact in every MXU pass precision), and adding zeros does not
+    change f32 bits."""
+    levels = jnp.asarray(levels)
+    L = levels.shape[0]
+    oh = (level_idx[..., None] == jnp.arange(L, dtype=jnp.int32)
+          ).astype(levels.dtype)
+    return oh @ levels
+
+
 def _bt_kernel(
     bnew_ref,     # (1, 1) i32, SMEM
     phi0_ref,     # (Lp, Bp) f32, VMEM
@@ -39,7 +80,14 @@ def _bt_kernel(
     idx_ref,      # out: (1, ntp) i32, VMEM row (per-step scalar stores are
                   #   not allowed on TPU, and an SMEM output of nt scalars
                   #   blows the 1 MB SMEM budget)
-    u_buf_ref,    # scratch: (2, K, Lp, Bp) i32
+    u_buf_ref,    # scratch: (2, K, Lp, Bp) U-dtype — DMA landing buffer
+    u32_ref,      # scratch: (K, Lp, Bp) i32 — current chunk, converted.
+                  #   int8 U packs 4 rows per sublane cell, so the dynamic
+                  #   SUBLANE slice below cannot be proven aligned on the
+                  #   raw buffer ("index in dimension 2 is a multiple of 8"
+                  #   — Mosaic); converting the whole chunk once per K steps
+                  #   keeps the proven-fast slice path and moves conversion
+                  #   off the per-step chain.
     idx_buf_ref,  # scratch: (1, 128) i32 — staging row for idx writes.
                   #   Masked updates on the full (1, ntp) row would cost
                   #   O(nt) lanes PER STEP = O(nt²) total (measured 25 ms at
@@ -89,14 +137,19 @@ def _bt_kernel(
             pltpu.make_async_copy(
                 U_hbm_ref.at[pl.ds(chunk * K, K)], u_buf_ref.at[slot], sem.at[slot]
             ).wait()
+            u32_ref[:] = u_buf_ref[slot].astype(jnp.int32)
 
         # Dynamic LANE extraction is not allowed on TPU, but dynamic SUBLANE
         # slicing is (probed on-chip, round 3): pull row l of the plane with
         # a dynamic slice, then select lane b with a (1, Bp) masked reduce —
         # ~5 small vector ops vs the full-plane (Lp, Bp) masked reduction
         # this replaced (the chase measured 507 µs at conv nt=2048, MORE
-        # than the 406 µs DP build it follows).
-        row_vec = u_buf_ref[slot, row, pl.ds(l, 1)]  # (1, Bp)
+        # than the 406 µs DP build it follows).  The slice reads the
+        # chunk-converted i32 copy (see u32_ref).  Lookup at b BEFORE the
+        # decrement (post-shift U): the bt reduce and the row lookup run in
+        # PARALLEL off the recurrence — the pre-shift form serialized them
+        # and cost the chase +75% (round-5 measurement).
+        row_vec = u32_ref[row, pl.ds(l, 1)]  # (1, Bp)
         l_next = jnp.max(jnp.where(lane_row == b, row_vec, 0))
         bt_row = btilde_ref[pl.ds(k, 1), :]  # (1, L) — btilde may be unpadded
         bt_iota = jax.lax.broadcasted_iota(jnp.int32, bt_row.shape, 1)
@@ -126,7 +179,7 @@ def _bt_kernel(
 
         return (l_next, b_next)
 
-    jax.lax.fori_loop(0, nsteps, step, (l0, b0))
+    _chase_loop(step, nsteps, (l0, b0))
     # Flush the final (possibly partial) staging chunk; entries past nt are
     # padding the caller slices off.
     idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
@@ -150,7 +203,9 @@ def _bt_kernel_vec(
     btilde_ref,   # (nt, Bp) i32, VMEM — level axis PADDED to Bp lanes
     U_hbm_ref,    # (nsteps_pad, Lp, Bp) i32, HBM
     idx_ref,      # out: (1, ntp) i32, VMEM
-    u_buf_ref,    # scratch: (2, K, Lp, Bp) i32
+    u_buf_ref,    # scratch: (2, K, Lp, Bp) U-dtype
+    u32_ref,      # scratch: (K, Lp, Bp) i32 — unused here (full-plane reads
+                  #   convert inline); shared scratch list with _bt_kernel
     idx_buf_ref,  # scratch: (1, 128) i32
     sem,          # DMA semaphores (2,)
     *,
@@ -211,7 +266,7 @@ def _bt_kernel_vec(
                 sem.at[slot],
             ).wait()
 
-        plane = u_buf_ref[slot, row]               # (Lp, Bp)
+        plane = u_buf_ref[slot, row].astype(jnp.int32)  # (Lp, Bp)
         rowv = jnp.where(l == 0, plane[0:1, :], zero_row)
         for j in range(1, L):
             rowv = jnp.where(l == j, plane[j:j + 1, :], rowv)
@@ -326,8 +381,13 @@ def _bt_kernel_batched(
 
         # Dynamic (l, b) extraction per start: statically-unrolled row
         # select (scalar compare per level — see broadcast note above),
-        # then a masked lane reduction for the budget column.
-        plane = u_buf_ref[slot, :, row]  # (S, Lp, Bp)
+        # then a masked lane reduction for the budget column.  The i32
+        # convert (U may stream as int8 — 4× less of the traffic that put
+        # this kernel at 87% of the HBM bound) is vector work off the
+        # pointer-chase dependency chain.  Lookup at b BEFORE the decrement
+        # (post-shift U): bt and row selects run in parallel off the
+        # recurrence.
+        plane = u_buf_ref[slot, :, row].astype(jnp.int32)  # (S, Lp, Bp)
         rowv = jnp.where(l == 0, plane[:, 0], 0)         # (S, Bp)
         for j in range(1, L):
             rowv = jnp.where(l == j, plane[:, j], rowv)
@@ -356,7 +416,7 @@ def _bt_kernel_batched(
 
         return (l_next, b_next)
 
-    jax.lax.fori_loop(0, nsteps, step, (l0, b0))
+    _chase_loop(step, nsteps, (l0, b0))
     idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
 
 
@@ -436,7 +496,7 @@ def _bt_kernel_trials(
                 sem.at[slot],
             ).wait()
 
-        plane = u_buf_ref[slot, :, row]  # (S, Lp, Bp) — shared by all trials
+        plane = u_buf_ref[slot, :, row].astype(jnp.int32)  # (S, Lp, Bp)
         bt_row = btilde_ref[k]           # (S, L)
         p = k + 1
         out_chunk = p // 128
@@ -470,7 +530,7 @@ def _bt_kernel_trials(
 
         return tuple(new_carry)
 
-    jax.lax.fori_loop(0, nsteps, step, tuple(seeds))
+    _chase_loop(step, nsteps, tuple(seeds))
     for t in range(Kt):
         idx_ref[t, :, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[t]
 
@@ -488,7 +548,7 @@ def _backtrack_trials_impl(U, phi0, btilde, levels, B_trials,
         raise ValueError("trial-wave chase supports at most 128 trials")
     nt = btilde.shape[1]
     nsteps = nt - 1
-    K = _chunk_size(nsteps, Lp, Bp, S)
+    K = _chunk_size(nsteps, Lp, Bp, S, itemsize=U.dtype.itemsize)
     need = -(-nsteps // K) * K
     if T < need:  # sliced tables: re-pad the time axis (raw ones never hit)
         U = jnp.concatenate(
@@ -509,7 +569,7 @@ def _backtrack_trials_impl(U, phi0, btilde, levels, B_trials,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, S, K, Lp, Bp), jnp.int32),
+            pltpu.VMEM((2, S, K, Lp, Bp), U.dtype),
             pltpu.VMEM((Kt, S, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -517,8 +577,7 @@ def _backtrack_trials_impl(U, phi0, btilde, levels, B_trials,
         interpret=interpret,
     )(bnew, phi0.astype(jnp.float32), btilde.transpose(1, 0, 2), U)
     level_idx = idx[:, :, :nt].transpose(1, 0, 2)  # (S, Kt, nt)
-    levels = jnp.asarray(levels)
-    return levels[level_idx], level_idx
+    return _levels_at(levels, level_idx), level_idx
 
 
 @functools.lru_cache(maxsize=None)
@@ -582,7 +641,7 @@ def _backtrack_batched_impl(U, phi0, btilde, levels, B_new,
     S, T, Lp, Bp = U.shape
     nt = btilde.shape[1]
     nsteps = nt - 1
-    K = _chunk_size(nsteps, Lp, Bp, S)
+    K = _chunk_size(nsteps, Lp, Bp, S, itemsize=U.dtype.itemsize)
     need = -(-nsteps // K) * K
     if T < need:  # sliced tables: re-pad the time axis (raw ones never hit)
         U = jnp.concatenate(
@@ -603,7 +662,7 @@ def _backtrack_batched_impl(U, phi0, btilde, levels, B_new,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, S, K, Lp, Bp), jnp.int32),
+            pltpu.VMEM((2, S, K, Lp, Bp), U.dtype),
             pltpu.VMEM((S, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -611,8 +670,7 @@ def _backtrack_batched_impl(U, phi0, btilde, levels, B_new,
         interpret=interpret,
     )(bnew, phi0.astype(jnp.float32), btilde.transpose(1, 0, 2), U)
     level_idx = idx[:, :nt]
-    levels = jnp.asarray(levels)
-    return levels[level_idx], level_idx
+    return _levels_at(levels, level_idx), level_idx
 
 
 # Chase-state experiments (BASELINE_SELF.md round 4): the scalar-carry
@@ -632,7 +690,7 @@ def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
     T, Lp, Bp = U.shape
     nt = btilde.shape[0]
     nsteps = nt - 1
-    K = _chunk_size(nsteps, Lp, Bp)
+    K = _chunk_size(nsteps, Lp, Bp, itemsize=U.dtype.itemsize)
     nchunks = -(-nsteps // K)
     pad = nchunks * K - T
     if pad > 0:
@@ -661,7 +719,8 @@ def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, K, Lp, Bp), jnp.int32),
+            pltpu.VMEM((2, K, Lp, Bp), U.dtype),
+            pltpu.VMEM((K, Lp, Bp), jnp.int32),
             pltpu.VMEM((1, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -669,8 +728,7 @@ def _backtrack_impl(U, phi0, btilde, levels, B_new, interpret: bool = False):
         interpret=interpret,
     )(bnew, phi0.astype(jnp.float32), btilde, U)
     level_idx = idx[0, :nt]
-    levels = jnp.asarray(levels)
-    return levels[level_idx], level_idx
+    return _levels_at(levels, level_idx), level_idx
 
 
 @functools.lru_cache(maxsize=None)

@@ -126,7 +126,13 @@ def build_tables(stage, btilde, jump_cost, B: int, smax: int = None, unroll: int
         tot = phi[None, :, :] + jump_cost[:, :, None]  # (l, j, b)
         val = jnp.min(tot, axis=1)
         arg = jnp.argmin(tot, axis=1).astype(jnp.int32)
-        # Budget shift b → b + b̃_l as static lane rotations.
+        # Budget shift b → b + b̃_l as static lane rotations.  U stores the
+        # POST-shift argmin plane: a pre-shift table was measured (round 5)
+        # to save ~⅓ of the build's shift chain but to SERIALIZE the chase's
+        # pointer recurrence (the budget decrement moves onto the lookup's
+        # critical cycle — conv chase +75%), and chases outnumber builds
+        # ~7:1 in the TRM loop.  Post-shift keeps the decrement off the
+        # chase's recurrence at the build's expense.
         new_phi = stage_i[:, None] + _shift_select(btilde_i, val, smax, _INF)
         U_i = _shift_select(btilde_i, arg, smax, jnp.int32(0))
         return new_phi, U_i
@@ -162,7 +168,10 @@ def backtrack(U, phi0, btilde, levels, B_new):
     def chase(carry, xs):
         l, b = carry
         U_k, btilde_k = xs
-        nl = U_k[l, b]
+        # astype: the fused build may deliver U as int8 (argmin indices fit
+        # i8 for L ≤ 127 — 4× less HBM traffic, ops/bellman_pallas.py); the
+        # scan carry stays i32 either way.
+        nl = U_k[l, b].astype(jnp.int32)
         nb = b - btilde_k[l]  # decrement AFTER lookup (HelpFunctions.jl:115-122)
         return (nl, nb), nl
 

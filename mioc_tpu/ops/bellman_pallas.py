@@ -41,26 +41,53 @@ def _round_up(x, m):
 
 _CHUNK_KIB = int(__import__("os").environ.get("MIOC_PALLAS_CHUNK_KIB", 2048))
 
-# Build-kernel variant knob for the SINGLE (unbatched) build — benchmark
-# instrumentation for the heat-shape SoL attribution (VERDICT r4 item 4;
-# benchmarks/dp_census.py).  Read once at import; one process per variant.
-#   "full"       — production kernel (default);
-#   "nocontract" — ablation: skip the min-plus contraction (val = Φ row 0);
-#   "noshift"    — ablation: skip the budget-shift select chain;
-#   "jb"         — candidate win: the per-j jump-column lane broadcasts
-#                  (Lp, 1) → (Lp, Bp) are hoisted OUT of the time loop into
-#                  a precomputed (L, Lp, Bp) operand streamed from XLA.
-# Ablations are semantically WRONG (U/Φ are garbage) — they exist to
-# attribute device time to op groups; "jb" is exact and promotable.
-_DP_VARIANT = __import__("os").environ.get("MIOC_DP_VARIANT", "full")
+# U-table element dtype.  The argmin index fits int8 whenever L ≤ 127
+# (every bundled problem: L ≤ 36), and U is BY FAR the DP pair's dominant
+# HBM traffic — the build streams it out and every chase streams it back
+# (×32 fishing: 268 MB per batched chase, measured at 87% of the HBM bound
+# and 47% of total multistart device time, round-5 xplane profile).  int8
+# cuts that 4×.  MIOC_U_DTYPE=int32 restores the round-4 layout for A/B.
+_U_INT8 = __import__("os").environ.get("MIOC_U_DTYPE", "int8") == "int8"
 
 
-def _chunk_size(nsteps: int, Lp: int, Bp: int, S: int = 1) -> int:
+def _u_dtype(L: int):
+    return jnp.int8 if (_U_INT8 and L <= 127) else jnp.int32
+
+
+# Build-kernel variant knob — census instrumentation for the SoL
+# attribution (VERDICT r4 item 4; benchmarks/dp_census.py).  Read once at
+# import; one process per variant.
+#   "auto"       — default: "jb" when Lp ≤ 16 (census: 1.72× at the conv
+#                  shape, where the per-j jump-column broadcast
+#                  materializations dominate the contraction), else "full"
+#                  (at heat's Lp=40 the hoisted-plane loads measured 1.18×
+#                  SLOWER than the broadcasts);
+#   "full"       — in-loop jump-column broadcasts;
+#   "jb"         — per-j jump-column lane broadcasts (Lp, 1) → (Lp, Bp)
+#                  hoisted OUT of the time loop into a precomputed
+#                  (L, Lp, Bp) operand streamed from XLA (exact);
+#   "nocontract" — ablation: skip the min-plus contraction (census only);
+#   "noshift"    — ablation: skip the budget-shift select chain (census
+#                  only; both ablations produce garbage tables).
+_DP_VARIANT = __import__("os").environ.get("MIOC_DP_VARIANT", "auto")
+
+
+def _pick_variant(Lp: int) -> str:
+    if _DP_VARIANT == "auto":
+        return "jb" if Lp <= 16 else "full"
+    return _DP_VARIANT
+
+
+def _chunk_size(nsteps: int, Lp: int, Bp: int, S: int = 1,
+                itemsize: int = 4) -> int:
     """U-streaming chunk length: ≤ ~2 MB per double-buffer slot (tunable via
     MIOC_PALLAS_CHUNK_KIB), floored to a power of two so every kernel over
     the same tables (build, batched chase) computes K | 64 and stays within
-    the shared raw padded time axis (``_tpad``)."""
-    K = max(1, min(64, nsteps, (_CHUNK_KIB << 10) // (S * Lp * Bp * 4)))
+    the shared raw padded time axis (``_tpad``).  ``itemsize`` follows the
+    U dtype: int8 tables fit 4× more steps per slot, which quarters the
+    chase's per-chunk DMA waits (at ×32 fishing the int32 chunk was 8 steps
+    — a wait every 8 sequential pointer steps)."""
+    K = max(1, min(64, nsteps, (_CHUNK_KIB << 10) // (S * Lp * Bp * itemsize)))
     return 1 << (K.bit_length() - 1)
 
 
@@ -154,7 +181,11 @@ def _dp_kernel(
                 val = jnp.where(better, cand, val)
                 arg = jnp.where(better, j, arg)
 
-        # Budget shift: out[l, b] = val[l, b − b̃_l] via static lane rotations.
+        # Budget shift: out[l, b] = val[l, b − b̃_l] via static lane
+        # rotations.  Note: a PRE-shift U (dropping the arg half of this
+        # chain) was measured in round 5 — build −⅓ shift ops, but the
+        # chase's pointer recurrence serializes and chases dominate the TRM
+        # loop 7:1, so post-shift stays (benchmarks/dp_census.py notes).
         if variant == "noshift":  # ablation: no shift chain (census only)
             new_phi, new_arg = val, arg
         else:
@@ -187,7 +218,7 @@ def _dp_kernel(
                     send_sem.at[slot],
                 ).wait()
 
-        u_buf_ref[slot, row] = new_arg
+        u_buf_ref[slot, row] = new_arg.astype(u_buf_ref.dtype)
 
         @pl.when(row == 0)
         def _():  # chunk complete (sweep is backward): flush it
@@ -245,6 +276,7 @@ def _dp_kernel_batched(
     smax: int,
     K: int,
     unroll: int = 1,
+    variant: str = "full",
 ):
     """Batched fused DP build with the start axis INSIDE the kernel: every
     vector op processes all S starts at once ((S·Lp) sublanes × Bp lanes)
@@ -266,13 +298,23 @@ def _dp_kernel_batched(
         phi = phi_ref[:]
 
         # Tropical contraction with running argmin over successor j (< L).
-        val = phi[:, 0, :][:, None, :] + jump_ref[:, 0][None, :, None]
-        arg = jnp.zeros((S, Lp, Bp), jnp.int32)
-        for j in range(1, L):
-            cand = phi[:, j, :][:, None, :] + jump_ref[:, j][None, :, None]
-            better = cand < val
-            val = jnp.where(better, cand, val)
-            arg = jnp.where(better, j, arg)
+        if variant == "jb":
+            # Hoisted jump planes (see _dp_kernel): jump_ref is (L, Lp, Bp).
+            val = phi[:, 0, :][:, None, :] + jump_ref[0][None]
+            arg = jnp.zeros((S, Lp, Bp), jnp.int32)
+            for j in range(1, L):
+                cand = phi[:, j, :][:, None, :] + jump_ref[j][None]
+                better = cand < val
+                val = jnp.where(better, cand, val)
+                arg = jnp.where(better, j, arg)
+        else:
+            val = phi[:, 0, :][:, None, :] + jump_ref[:, 0][None, :, None]
+            arg = jnp.zeros((S, Lp, Bp), jnp.int32)
+            for j in range(1, L):
+                cand = phi[:, j, :][:, None, :] + jump_ref[:, j][None, :, None]
+                better = cand < val
+                val = jnp.where(better, cand, val)
+                arg = jnp.where(better, j, arg)
 
         # Budget shift via static lane rotations (per-start b̃).
         btilde_i = btilde_ref[i][:, :, None]  # (S, Lp, 1)
@@ -303,7 +345,7 @@ def _dp_kernel_batched(
                     send_sem.at[slot],
                 ).wait()
 
-        u_buf_ref[slot, :, row] = new_arg
+        u_buf_ref[slot, :, row] = new_arg.astype(u_buf_ref.dtype)
 
         @pl.when(row == 0)
         def _():
@@ -351,18 +393,21 @@ def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
     stage_p, btilde_p, jump_p = _pad_operands(stage, btilde, jump_cost, L, Lp, Bp)
 
     nsteps = nt - 1
-    K = _chunk_size(nsteps, Lp, Bp)
+    udt0 = _u_dtype(L)
+    K = _chunk_size(nsteps, Lp, Bp, itemsize=jnp.dtype(udt0).itemsize)
 
-    if _DP_VARIANT == "jb":
+    variant = _pick_variant(Lp)
+    if variant == "jb":
         # Hoisted jump-broadcast planes: one XLA broadcast per build.
         jump_p = jnp.broadcast_to(jump_p.T[:L, :, None], (L, Lp, Bp))
 
+    udt = udt0
     kernel = functools.partial(_dp_kernel, nt=nt, L=L, smax=min(smax, B), K=K,
-                               unroll=unroll, variant=_DP_VARIANT)
+                               unroll=unroll, variant=variant)
     U, phi0 = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((_tpad(nsteps), Lp, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((_tpad(nsteps), Lp, Bp), udt),
             jax.ShapeDtypeStruct((Lp, Bp), jnp.float32),
         ),
         in_specs=[
@@ -375,7 +420,7 @@ def _build_tables_impl(stage, btilde, jump_cost, B: int, smax: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, K, Lp, Bp), jnp.int32),
+            pltpu.VMEM((2, K, Lp, Bp), udt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -460,15 +505,25 @@ def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
     btilde_p = btilde_p.transpose(1, 0, 2)
 
     nsteps = nt - 1
-    K = _chunk_size(nsteps, Lp, Bp, S)
+    udt = _u_dtype(L)
+    K = _chunk_size(nsteps, Lp, Bp, S, itemsize=jnp.dtype(udt).itemsize)
+
+    # Batched build keeps the in-loop broadcasts: hoisted jump planes need
+    # an extra broadcast over S here and measured 14.03 → 15.99 ms/solve at
+    # ×32 fishing (round 5) — "jb" is a SINGLE-build win only (explicit
+    # MIOC_DP_VARIANT=jb still forces it for experiments).
+    variant = "jb" if _DP_VARIANT == "jb" else "full"
+    if variant == "jb":
+        jump_p = jnp.broadcast_to(jump_p.T[:L, :, None], (L, Lp, Bp))
 
     kernel = functools.partial(
-        _dp_kernel_batched, nt=nt, L=L, smax=min(smax, B), K=K, unroll=unroll
+        _dp_kernel_batched, nt=nt, L=L, smax=min(smax, B), K=K, unroll=unroll,
+        variant=variant,
     )
     U, phi0 = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((S, _tpad(nsteps), Lp, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((S, _tpad(nsteps), Lp, Bp), udt),
             jax.ShapeDtypeStruct((S, Lp, Bp), jnp.float32),
         ),
         in_specs=[
@@ -482,7 +537,7 @@ def build_tables_pallas_batched(stage, btilde, jump_cost, B: int, smax: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((S, Lp, Bp), jnp.float32),
-            pltpu.VMEM((2, S, K, Lp, Bp), jnp.int32),
+            pltpu.VMEM((2, S, K, Lp, Bp), udt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -24,11 +24,20 @@ def _tv_rows(us, p: float):
     through a duplicated 2-row batch of THIS function, making a trial
     wave's vmapped TVs bit-match the sequential loop's at native reduce
     speed (the fold-tree alternative cost ~2 ms/outer-iteration of layout
-    ops in the fishing device loop)."""
-    d = jnp.abs(us[:, 1:] - us[:, :-1])  # (K, nt-1, M)
+    ops in the fishing device loop).  The row count is padded to a
+    multiple of 8 with zero rows so every call site lowers at the SAME
+    width — the 8321-dof banded heat run caught a K=7 wave whose decision
+    bits diverged from the duplicated-2-row sequential values (round 5);
+    equal widths make the equality structural."""
+    K = us.shape[0]
+    Kp = -(-max(K, 2) // 8) * 8
+    if Kp != K:
+        us = jnp.concatenate(
+            [us, jnp.zeros((Kp - K,) + us.shape[1:], us.dtype)])
+    d = jnp.abs(us[:, 1:] - us[:, :-1])  # (Kp, nt-1, M)
     if p == float("inf"):
-        return d.max(axis=-1).sum(axis=-1)
-    return ((d**p).sum(axis=-1) ** (1.0 / p)).sum(axis=-1)
+        return d.max(axis=-1).sum(axis=-1)[:K]
+    return ((d**p).sum(axis=-1) ** (1.0 / p)).sum(axis=-1)[:K]
 
 
 @partial(jax.jit, static_argnames=("p",))

@@ -59,8 +59,15 @@ def _iv_rows(grad, u_old, us):
     """Row-wise inner products ``Σ grad·(u_old − us[k]) → (K,)``.  Like
     ``_tv_rows`` (ops/tv.py): row-reduction bits are batch-size invariant on
     TPU for K ≥ 2, so single evaluations route through a duplicated 2-row
-    batch and bit-match the trial wave's values."""
-    return jnp.sum(grad[None] * (u_old[None] - us), axis=(1, 2))
+    batch and bit-match the trial wave's values — with the row count padded
+    to a multiple of 8 so every call site lowers at the SAME width (see
+    ``_tv_rows``)."""
+    K = us.shape[0]
+    Kp = -(-max(K, 2) // 8) * 8
+    if Kp != K:
+        us = jnp.concatenate(
+            [us, jnp.zeros((Kp - K,) + us.shape[1:], us.dtype)])
+    return jnp.sum(grad[None] * (u_old[None] - us), axis=(1, 2))[:K]
 
 
 def _guarded(cond_fn, body_fn):
