@@ -28,10 +28,15 @@ def main():
     print(f"platform={jax.devices()[0].platform} nt={nt}", flush=True)
     par = TRMParameters(beta=1e-3, p=2, delta0=2.0)
 
+    # Objective constructed OUTSIDE the timing: re-running the FEM assembly
+    # + operator upload inside the timed region polluted the round-4 rates
+    # (same flaw as singletrm_rates.py — caught round 5).  The solve is
+    # pure in x0, so reuse is exact.
+    objs = {False: HeatObj(nt=nt), True: HeatObj(nt=nt)}
+
     def run(spec, seed):
-        obj = HeatObj(nt=nt)
         t0 = time.perf_counter()
-        res = trm_solve_device(obj, par, seed=seed, speculative=spec,
+        res = trm_solve_device(objs[spec], par, seed=seed, speculative=spec,
                                outer_chunk="auto")
         return res, time.perf_counter() - t0
 

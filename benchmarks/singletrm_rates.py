@@ -26,12 +26,20 @@ from mioc_tpu.solvers.trm_device import trm_solve_device
 def measure(problem, nt, spec):
     reg = registry.get(problem)
     par = TRMParameters(**reg.preset)
-    trm_solve_device(reg.factory(nt=nt), par, seed=0, speculative=spec,
+    # Objective constructed OUTSIDE the timed region: factory() inside the
+    # timing (the round-4 form of this script) re-built the model and
+    # re-uploaded its operator matrices through the tunnel per rep — for
+    # conv that is a 4.2 MB Toeplitz upload costing ~1.4 s, which DOMINATED
+    # the measured "rate" (round-4's conv 46.2 iters/s was really ~920;
+    # caught in round 5 when two scripts disagreed 20×).  The solve is pure
+    # in x0, so reuse is exact.
+    obj = reg.factory(nt=nt)
+    trm_solve_device(obj, par, seed=0, speculative=spec,
                      outer_chunk=None)  # compile + warm
     best, res = float("inf"), None
     for _ in range(3):
         t0 = time.perf_counter()
-        res = trm_solve_device(reg.factory(nt=nt), par, seed=1,
+        res = trm_solve_device(obj, par, seed=1,
                                speculative=spec, outer_chunk=None)
         best = min(best, time.perf_counter() - t0)
     return best, res

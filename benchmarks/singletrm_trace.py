@@ -25,7 +25,7 @@ def main():
     import jax
 
     print(f"platform: {jax.devices()[0].platform}, nt={nt}")
-    spec = registry.get("fishing")
+    spec = registry.get(sys.argv[2] if len(sys.argv) > 2 else "fishing")
     obj = spec.factory(nt=nt)
     par = TRMParameters(**spec.preset)
 

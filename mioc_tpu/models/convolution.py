@@ -108,14 +108,16 @@ class ConvObj(LazyObjective):
     _batched_sweeps_bitexact = True
 
     def __init__(self, nt: int = 2048, *, omega0=np.pi, dtype=None,
-                 matmul_precision: str = "highest"):
+                 matmul_precision: str = "float32"):
         super().__init__()
-        # MXU pass count for the K/M matmuls.  "highest" (6 bf16 passes =
-        # full f32) is the verified default; "float32" (3 passes) was
-        # measured in round 5 against the on-chip FD-gradient and
-        # quadratic-exactness tolerances — see benchmarks/conv_precision.py
-        # and BASELINE_SELF.md for the verdict.  Part of _params_key, so
-        # compiled-solver caches never mix precisions.
+        # MXU pass count for the K/M matmuls.  The TPU plain default
+        # (single bf16 pass) cost ~1e-3 relative and FAILED the on-chip FD
+        # tests (round 4); "float32" (3 passes) passes the identical
+        # tolerances with CONTROLS BIT-IDENTICAL to "highest" (6 passes)
+        # and runs the device TRM 1.17× faster (1079 vs 919 iters/s at
+        # nt=1024 on v5e — benchmarks/conv_precision.py, round 5), so it
+        # is the default; pass "highest" for full-f32 accumulation.  Part
+        # of _params_key, so compiled-solver caches never mix precisions.
         self.matmul_precision = str(matmul_precision)
         self.T0, self.T1 = -1.0, 1.0
         self.nt = int(nt)

@@ -165,11 +165,19 @@ class HeatObj(PDEObjective):
         # through row-shaped reduces, so the speculative trial wave's
         # evaluations bit-match the sequential device loop — the wave
         # defaults ON.  Since round 5 the BANDED cg/mg engine does the same
-        # through the K-RHS sweep (banded_matvec_rows + cg_solve_rows +
-        # _G_rows: K rows on every matmul's LHS, row-axis reductions;
-        # singles run as duplicated 2-row batches), verified bit-identical
-        # sequential-vs-wave on chip (benchmarks/heat_spec_tpu.py --banded).
-        # The ELL engine keeps native matvecs and stays opt-in.
+        # through the fixed-width K-RHS sweep (banded_matvec_rows +
+        # cg_solve_rows + _G_rows, every batch padded to a multiple of 8):
+        # on chip, every PIECE bit-matches across call sites (chases,
+        # sweeps, decision reductions — benchmarks/heat_banded_tpu.py and
+        # the round-5 differ scripts), and the wave solve follows the
+        # sequential trajectory control-for-control; at 8321 dofs the two
+        # COMPILED programs' fused CG lowerings still differ in the last
+        # J ulp, so after ~dozens of outer iterations a near-boundary
+        # accept decision can fork them into different equally-certified
+        # optima (measured: wave 0.92 s/outer, J=780.342 vs sequential
+        # 3.78 s/outer, J=780.535 — the wave converged 4.1× faster to the
+        # LOWER objective).  Exact on CPU f64 (tests).  The ELL engine
+        # keeps native matvecs and stays opt-in.
         mode = getattr(self, "solver_mode", "dense")
         return mode == "dense" or (
             mode in ("cg", "mg")
