@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,7 +116,13 @@ def banded_matvec(spec: BandedSpec, blocks, x):
     win = jnp.stack(
         [xb[lo + d : lo + d + spec.R] for d in spec.offsets], axis=1
     )  # (R, D, cb)
-    y = jnp.einsum("rdij,rdj->ri", blocks, win)
+    # Precision pinned: these operators ARE the PDE physics — the TPU
+    # default single-bf16 MXU pass costs ~1e-2 relative here (caught by
+    # the round-5 on-chip unit tests); every production caller already
+    # runs under default_matmul_precision("highest"), for which the pin
+    # is a no-op.
+    y = jnp.einsum("rdij,rdj->ri", blocks, win,
+                   precision=jax.lax.Precision.HIGHEST)
     return y.reshape(spec.R * spec.rb)[: spec.nrows]
 
 
@@ -147,5 +154,6 @@ def banded_matvec_rows(spec: BandedSpec, blocks, xs):
     win = jnp.stack(
         [xb[:, lo + d : lo + d + spec.R] for d in spec.offsets], axis=2
     )  # (K, R, D, cb)
-    y = jnp.einsum("rdij,krdj->kri", blocks, win)
+    y = jnp.einsum("rdij,krdj->kri", blocks, win,
+                   precision=jax.lax.Precision.HIGHEST)  # see banded_matvec
     return y.reshape(K, spec.R * spec.rb)[:, : spec.nrows]
