@@ -56,13 +56,21 @@ SHAPES = [
 ]
 
 
-def device_op_times(logdir):
-    """Per-op device self-times (s) from an xplane trace.
+def device_op_times(logdir, self_time: bool = True):
+    """Per-op device times (s) from an xplane trace.
 
     Parses the XSpace proto directly (xplane_ops.py pattern — the
     tensorboard-plugin converter is broken in this image).  Returns
     ``(by_name: {op_name: (seconds, count)}, device_total_s)`` from the
     op-level line (the line with most events) of the TPU device plane.
+
+    ``self_time=True`` (default since round 5) subtracts each event's
+    DIRECTLY-NESTED children, so `while`/fusion parents report only their
+    own bookkeeping — round 4 read the raw durations and misattributed
+    ~60% of multistart device time to "while-loop self time" (the while
+    spans CONTAIN every child op; the re-profile with this fix showed the
+    loop overhead was ~zero and the batched chase dominated).
+    ``self_time=False`` restores the raw inclusive durations.
     """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -79,11 +87,25 @@ def device_op_times(logdir):
         if not lines:
             continue
         opline = max(lines, key=lambda ln: len(ln.events))
-        by_name, tot = {}, 0.0
+        evs = []
         for ev in opline.events:
             md = ev_names.get(ev.metadata_id)
-            name = md.name if md else ""
-            dur = ev.duration_ps / 1e12
+            evs.append([ev.offset_ps, ev.offset_ps + ev.duration_ps,
+                        md.name if md else "", 0])  # [start, end, name, child_ps]
+        if self_time:
+            # Longest-first at equal starts so parents precede their children;
+            # a stack of open spans attributes each event to its DIRECT parent.
+            evs.sort(key=lambda e: (e[0], -(e[1] - e[0])))
+            stack = []
+            for e in evs:
+                while stack and e[0] >= stack[-1][1]:
+                    stack.pop()
+                if stack:
+                    stack[-1][3] += e[1] - e[0]
+                stack.append(e)
+        by_name, tot = {}, 0.0
+        for start, end, name, child in evs:
+            dur = max(0, (end - start) - child) / 1e12
             tot += dur
             s_, n_ = by_name.get(name, (0.0, 0))
             by_name[name] = (s_ + dur, n_ + 1)

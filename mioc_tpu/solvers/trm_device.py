@@ -377,6 +377,16 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
             U, phi0, btilde_bt = dp_build(stage, btilde, jump, B, smax)
             dp_builds = dp_builds + 1
 
+            # Measured round-5 negative — pre-chasing all halving trials in
+            # ONE trial-wave kernel pass per outer (the sequential loop's
+            # budgets follow the STATIC schedule, so its trials are known
+            # up front): bit-identical, but the Kt-unrolled trials kernel
+            # is ISSUE-bound at exactly the cost of the ~7.5 separate
+            # latency-bound chases it replaces (2.82 ms vs 7.5 × 0.33 ms
+            # per ×32 outer, xplane-verified) — the chase work is
+            # irreducible at this shape from either direction, so the
+            # simpler per-trial chase stays.
+
             # Inner carry: k, delta, ared, pred, done, accepted state…
             def inner_cond(t):
                 (k, _, ared, pred, done, *_) = t

@@ -551,3 +551,20 @@ def test_vec_chase_variant_bitmatch(monkeypatch):
                                     jnp.int32(Bn), interpret=INTERPRET)
         _, i_s = backtrack(U_r, phi_r, btilde, levels, jnp.int32(Bn))
         np.testing.assert_array_equal(np.asarray(i_v), np.asarray(i_s))
+
+
+def test_levels_at_matches_gather():
+    """The one-hot level lookup (the gather replacement on the chase output
+    path — the gather fusion cost ~50 µs per ×32 chase on TPU) must equal
+    ``levels[idx]`` exactly for integer level values, any index rank."""
+    import jax.numpy as jnp
+
+    from mioc_tpu.ops.backtrack_pallas import _levels_at
+
+    rng = np.random.default_rng(11)
+    levels = jnp.asarray(rng.integers(-5, 6, size=(7, 3)).astype(float))
+    for shape in ((13,), (4, 9), (2, 3, 5)):
+        idx = jnp.asarray(rng.integers(0, 7, size=shape), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(_levels_at(levels, idx)),
+            np.asarray(levels)[np.asarray(idx)])
