@@ -36,11 +36,12 @@ def main():
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     nt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     which = sys.argv[3] if len(sys.argv) > 3 else "both"
+    problem = sys.argv[4] if len(sys.argv) > 4 else "fishing"
 
     import jax
 
-    print(f"platform: {jax.devices()[0].platform}, S={S}, nt={nt}")
-    spec = registry.get("fishing")
+    print(f"platform: {jax.devices()[0].platform}, S={S}, nt={nt}, {problem}")
+    spec = registry.get(problem)
     obj = spec.factory(nt=nt)
     par = TRMParameters(**spec.preset)
     x0s = np.stack([np.asarray(rand_func(obj, seed=s)) for s in range(S)])

@@ -31,32 +31,6 @@ _INF = np.float32(np.inf)
 _BIG = np.int32(2**30)
 
 
-_CHASE_UNROLL = int(__import__("os").environ.get("MIOC_CHASE_UNROLL", 1))
-
-
-def _chase_loop(step, nsteps: int, carry0):
-    """Drive ``step(k, carry)`` for ``k = 0 … nsteps-1``, optionally with
-    manual unrolling (MIOC_CHASE_UNROLL).  Measured round 5: unroll=4 made
-    the ×32 batched chase ~7% SLOWER (15.26 vs 14.21 ms/solve) and the
-    single conv chase ~2% faster — the chase is recurrence-latency-bound,
-    not loop-overhead-bound, so the default stays 1 (knob kept for
-    experiments)."""
-    U_ = max(1, min(_CHASE_UNROLL, nsteps))
-    body = nsteps - nsteps % U_
-
-    def super_step(s, carry):
-        base = s * U_
-        for t in range(U_):
-            carry = step(base + t, carry)
-        return carry
-
-    carry = jax.lax.fori_loop(0, body // U_, super_step, carry0,
-                              unroll=False)
-    if nsteps % U_:
-        carry = jax.lax.fori_loop(body, nsteps, step, carry, unroll=False)
-    return carry
-
-
 def _levels_at(levels, level_idx):
     """``levels[level_idx]`` without the gather.  XLA lowers the row gather
     from the tiny ``(L, M)`` table to a slow dynamic-gather fusion on TPU
@@ -126,63 +100,65 @@ def _bt_kernel(
     if nchunks > 1:
         start_chunk(1)
 
-    def step(k, carry):
+    # BRANCHLESS step body + per-chunk outer loop (see _bt_kernel_batched
+    # for the rationale: per-step `pl.when`s cost ~hundreds of scalar-core
+    # cycles and dominated the chase kernels).
+    def step_at(k, r, carry):
         l, b = carry
-        chunk = k // K
-        row = k - chunk * K
-        slot = jax.lax.rem(chunk, 2)
-
-        @pl.when(row == 0)
-        def _():
-            pltpu.make_async_copy(
-                U_hbm_ref.at[pl.ds(chunk * K, K)], u_buf_ref.at[slot], sem.at[slot]
-            ).wait()
-            u32_ref[:] = u_buf_ref[slot].astype(jnp.int32)
-
         # Dynamic LANE extraction is not allowed on TPU, but dynamic SUBLANE
         # slicing is (probed on-chip, round 3): pull row l of the plane with
         # a dynamic slice, then select lane b with a (1, Bp) masked reduce —
         # ~5 small vector ops vs the full-plane (Lp, Bp) masked reduction
-        # this replaced (the chase measured 507 µs at conv nt=2048, MORE
-        # than the 406 µs DP build it follows).  The slice reads the
-        # chunk-converted i32 copy (see u32_ref).  Lookup at b BEFORE the
-        # decrement (post-shift U): the bt reduce and the row lookup run in
-        # PARALLEL off the recurrence — the pre-shift form serialized them
-        # and cost the chase +75% (round-5 measurement).
-        row_vec = u32_ref[row, pl.ds(l, 1)]  # (1, Bp)
+        # this replaced.  The slice reads the chunk-converted i32 copy (see
+        # u32_ref).  Lookup at b BEFORE the decrement (post-shift U): the
+        # bt reduce and the row lookup run in PARALLEL off the recurrence —
+        # the pre-shift form serialized them and cost the chase +75%
+        # (round-5 measurement).
+        row_vec = u32_ref[r, pl.ds(l, 1)]  # (1, Bp)
         l_next = jnp.max(jnp.where(lane_row == b, row_vec, 0))
         bt_row = btilde_ref[pl.ds(k, 1), :]  # (1, L) — btilde may be unpadded
         bt_iota = jax.lax.broadcasted_iota(jnp.int32, bt_row.shape, 1)
         bt_l = jnp.max(jnp.where(bt_iota == l, bt_row, 0))
         b_next = b - bt_l  # decrement AFTER lookup
 
-        # Stage idx[k+1] into the 128-wide buffer; flush a full chunk slice
-        # on crossing each 128 boundary.
+        # Write-through idx staging (branchless; see _bt_kernel_batched).
         p = k + 1
         out_chunk = p // 128
         out_row = p - out_chunk * 128
-
-        @pl.when(out_row == 0)
-        def _():
-            idx_ref[:, pl.ds((out_chunk - 1) * 128, 128)] = idx_buf_ref[:]
-            idx_buf_ref[:] = jnp.zeros((1, 128), jnp.int32)
-
-        idx_buf_ref[:] = jnp.where(t128 == out_row, l_next, idx_buf_ref[:])
-
-        @pl.when((row == K - 1) & (chunk + 2 <= nchunks - 1))
-        def _():
-            pltpu.make_async_copy(
-                U_hbm_ref.at[pl.ds((chunk + 2) * K, K)],
-                u_buf_ref.at[slot],
-                sem.at[slot],
-            ).start()
-
+        buf = jnp.where(t128 == out_row, l_next, idx_buf_ref[:])
+        buf = jnp.where((out_row == 0) & (t128 != 0), 0, buf)
+        idx_buf_ref[:] = buf
+        idx_ref[:, pl.ds(out_chunk * 128, 128)] = buf
         return (l_next, b_next)
 
-    _chase_loop(step, nsteps, (l0, b0))
-    # Flush the final (possibly partial) staging chunk; entries past nt are
-    # padding the caller slices off.
-    idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
+    nfull = nsteps // K
+    rem = nsteps - nfull * K
+
+    def chunk_body(c, carry):
+        slot = jax.lax.rem(c, 2)
+        pltpu.make_async_copy(
+            U_hbm_ref.at[pl.ds(c * K, K)], u_buf_ref.at[slot], sem.at[slot]
+        ).wait()
+        u32_ref[:] = u_buf_ref[slot].astype(jnp.int32)
+        carry = jax.lax.fori_loop(
+            0, K, lambda r, cy: step_at(c * K + r, r, cy), carry)
+
+        @pl.when(c + 2 <= nchunks - 1)
+        def _():  # prefetch AFTER this chunk's reads (slot reuse)
+            start_chunk(c + 2)
+
+        return carry
+
+    carry = jax.lax.fori_loop(0, nfull, chunk_body, (l0, b0))
+    if rem:  # final partial chunk (static trip count)
+        slot = nfull % 2
+        pltpu.make_async_copy(
+            U_hbm_ref.at[pl.ds(nfull * K, K)], u_buf_ref.at[slot],
+            sem.at[slot],
+        ).wait()
+        u32_ref[:] = u_buf_ref[slot].astype(jnp.int32)
+        jax.lax.fori_loop(
+            0, rem, lambda r, cy: step_at(nfull * K + r, r, cy), carry)
 
 
 def _allreduce_max_lanes(x, width: int):
@@ -366,19 +342,16 @@ def _bt_kernel_batched(
     if nchunks > 1:
         start_chunk(1, 1)
 
-    def step(k, carry):
+    # BRANCHLESS step body (round 5): per-step `pl.when`s cost ~hundreds of
+    # scalar-core cycles each and dominated the chase kernels (the trials
+    # kernel ran ~Kt× slower than its vector-op model from its per-trial
+    # flush branches alone — xplane-verified).  The idx staging is a
+    # WRITE-THROUGH: every step rewrites the current 128-block of idx_ref
+    # from the staging buffer (one aligned vreg store), so no boundary
+    # branch exists; the DMA wait/prefetch branches move to a per-CHUNK
+    # outer loop below.
+    def step_at(k, slot, r, carry):
         l, b = carry  # (S, 1) i32 each
-        chunk = k // K
-        row = k - chunk * K
-        slot = jax.lax.rem(chunk, 2)
-
-        @pl.when(row == 0)
-        def _():
-            pltpu.make_async_copy(
-                U_hbm_ref.at[:, pl.ds(chunk * K, K)], u_buf_ref.at[slot],
-                sem.at[slot],
-            ).wait()
-
         # Dynamic (l, b) extraction per start: statically-unrolled row
         # select (scalar compare per level — see broadcast note above),
         # then a masked lane reduction for the budget column.  The i32
@@ -387,7 +360,7 @@ def _bt_kernel_batched(
         # pointer-chase dependency chain.  Lookup at b BEFORE the decrement
         # (post-shift U): bt and row selects run in parallel off the
         # recurrence.
-        plane = u_buf_ref[slot, :, row].astype(jnp.int32)  # (S, Lp, Bp)
+        plane = u_buf_ref[slot, :, r].astype(jnp.int32)  # (S, Lp, Bp)
         rowv = jnp.where(l == 0, plane[:, 0], 0)         # (S, Bp)
         for j in range(1, L):
             rowv = jnp.where(l == j, plane[:, j], rowv)
@@ -402,22 +375,41 @@ def _bt_kernel_batched(
         p = k + 1
         out_chunk = p // 128
         out_row = p - out_chunk * 128
-
-        @pl.when(out_row == 0)
-        def _():
-            idx_ref[:, pl.ds((out_chunk - 1) * 128, 128)] = idx_buf_ref[:]
-            idx_buf_ref[:] = jnp.zeros((S, 128), jnp.int32)
-
-        idx_buf_ref[:] = jnp.where(t128 == out_row, l_next, idx_buf_ref[:])
-
-        @pl.when((row == K - 1) & (chunk + 2 <= nchunks - 1))
-        def _():
-            start_chunk(chunk + 2, slot)
-
+        buf = jnp.where(t128 == out_row, l_next, idx_buf_ref[:])
+        # Entering a new block (out_row == 0): stale tail positions reset.
+        buf = jnp.where((out_row == 0) & (t128 != 0), 0, buf)
+        idx_buf_ref[:] = buf
+        idx_ref[:, pl.ds(out_chunk * 128, 128)] = buf
         return (l_next, b_next)
 
-    _chase_loop(step, nsteps, (l0, b0))
-    idx_ref[:, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[:]
+    nfull = nsteps // K
+    rem = nsteps - nfull * K
+
+    def chunk_body(c, carry):
+        slot = jax.lax.rem(c, 2)
+        pltpu.make_async_copy(
+            U_hbm_ref.at[:, pl.ds(c * K, K)], u_buf_ref.at[slot], sem.at[slot]
+        ).wait()
+        carry = jax.lax.fori_loop(
+            0, K, lambda r, cy: step_at(c * K + r, slot, r, cy), carry)
+
+        # Prefetch into this slot only AFTER the chunk's reads (the async
+        # copy overlaps the NEXT chunk's compute on the other slot).
+        @pl.when(c + 2 <= nchunks - 1)
+        def _():
+            start_chunk(c + 2, slot)
+
+        return carry
+
+    carry = jax.lax.fori_loop(0, nfull, chunk_body, (l0, b0))
+    if rem:  # final partial chunk (static trip count)
+        slot = nfull % 2
+        pltpu.make_async_copy(
+            U_hbm_ref.at[:, pl.ds(nfull * K, K)], u_buf_ref.at[slot],
+            sem.at[slot],
+        ).wait()
+        jax.lax.fori_loop(
+            0, rem, lambda r, cy: step_at(nfull * K + r, slot, r, cy), carry)
 
 
 def _bt_kernel_trials(
@@ -484,19 +476,14 @@ def _bt_kernel_trials(
     if nchunks > 1:
         start_chunk(1, 1)
 
-    def step(k, carry):
-        chunk = k // K
-        row = k - chunk * K
-        slot = jax.lax.rem(chunk, 2)
-
-        @pl.when(row == 0)
-        def _():
-            pltpu.make_async_copy(
-                U_hbm_ref.at[:, pl.ds(chunk * K, K)], u_buf_ref.at[slot],
-                sem.at[slot],
-            ).wait()
-
-        plane = u_buf_ref[slot, :, row].astype(jnp.int32)  # (S, Lp, Bp)
+    # BRANCHLESS step body + per-chunk outer loop (see _bt_kernel_batched):
+    # the original per-trial flush `pl.when`s put Kt scalar-core branches
+    # on EVERY step and dominated the kernel ~Kt-fold (heat S=8/Kt=8/L=36:
+    # 10.1 ms per wave pass, 51% of the ×8 multistart's device time —
+    # round-5 xplane; the one-branch hoist alone took the solve
+    # 752 → 445 ms, and this removes the remaining per-step branches).
+    def step_at(k, slot, r, carry):
+        plane = u_buf_ref[slot, :, r].astype(jnp.int32)  # (S, Lp, Bp)
         bt_row = btilde_ref[k]           # (S, L)
         p = k + 1
         out_chunk = p // 128
@@ -515,24 +502,39 @@ def _bt_kernel_trials(
                 bt_l = jnp.where(l == j, bt_row[:, j:j + 1], bt_l)
             new_carry.extend((l_next, b - bt_l))
 
-            @pl.when(out_row == 0)
-            def _(t=t):
-                idx_ref[t, :, pl.ds((out_chunk - 1) * 128, 128)] = \
-                    idx_buf_ref[t]
-                idx_buf_ref[t] = jnp.zeros((S, 128), jnp.int32)
-
-            idx_buf_ref[t] = jnp.where(t128 == out_row, l_next,
-                                       idx_buf_ref[t])
-
-        @pl.when((row == K - 1) & (chunk + 2 <= nchunks - 1))
-        def _():
-            start_chunk(chunk + 2, slot)
+            buf = jnp.where(t128 == out_row, l_next, idx_buf_ref[t])
+            buf = jnp.where((out_row == 0) & (t128 != 0), 0, buf)
+            idx_buf_ref[t] = buf
+            idx_ref[t, :, pl.ds(out_chunk * 128, 128)] = buf
 
         return tuple(new_carry)
 
-    _chase_loop(step, nsteps, tuple(seeds))
-    for t in range(Kt):
-        idx_ref[t, :, pl.ds((nsteps // 128) * 128, 128)] = idx_buf_ref[t]
+    nfull = nsteps // K
+    rem = nsteps - nfull * K
+
+    def chunk_body(c, carry):
+        slot = jax.lax.rem(c, 2)
+        pltpu.make_async_copy(
+            U_hbm_ref.at[:, pl.ds(c * K, K)], u_buf_ref.at[slot], sem.at[slot]
+        ).wait()
+        carry = jax.lax.fori_loop(
+            0, K, lambda r, cy: step_at(c * K + r, slot, r, cy), carry)
+
+        @pl.when(c + 2 <= nchunks - 1)
+        def _():  # prefetch AFTER this chunk's reads (slot reuse)
+            start_chunk(c + 2, slot)
+
+        return carry
+
+    carry = jax.lax.fori_loop(0, nfull, chunk_body, tuple(seeds))
+    if rem:  # final partial chunk (static trip count)
+        slot = nfull % 2
+        pltpu.make_async_copy(
+            U_hbm_ref.at[:, pl.ds(nfull * K, K)], u_buf_ref.at[slot],
+            sem.at[slot],
+        ).wait()
+        jax.lax.fori_loop(
+            0, rem, lambda r, cy: step_at(nfull * K + r, slot, r, cy), carry)
 
 
 def _backtrack_trials_impl(U, phi0, btilde, levels, B_trials,

@@ -156,9 +156,7 @@ def _dp_kernel(
         _INF,
     )
 
-    def step(i_rev, phi):
-        i = nsteps - 1 - i_rev  # sweep i = nt-2 … 0
-
+    def step(i, slot, row, phi):  # one backward step at time index i
         # Tropical contraction with running argmin over successor j (< L).
         if variant == "nocontract":  # ablation: no j-loop (census only)
             val, arg = phi, jnp.zeros((Lp, Bp), jnp.int32)
@@ -200,56 +198,69 @@ def _dp_kernel(
                 new_arg = jnp.where(sel, a, new_arg)
 
         phi_next = stage_at(i)[:, None] + new_phi
-
-        # Chunked streaming: per-step DMA issue costs ~15 µs, dwarfing the
-        # ~0.1 µs of compute per step, so K argmin planes are buffered in
-        # VMEM and flushed with ONE DMA per chunk (double-buffered).
-        chunk = i // K
-        slot = jax.lax.rem(chunk, 2)
-        row = i - chunk * K
-
-        @pl.when((row == K - 1) | (i == nsteps - 1))
-        def _():  # first visit of a chunk: wait for its buffer's old DMA
-            @pl.when(chunk <= (nsteps - 1) // K - 2)
-            def _():
-                pltpu.make_async_copy(
-                    u_buf_ref.at[slot],
-                    U_at(pl.ds((chunk + 2) * K, K)),
-                    send_sem.at[slot],
-                ).wait()
-
+        # Chunked streaming: K argmin planes are buffered in VMEM and
+        # flushed with ONE DMA per chunk (double-buffered); the DMA
+        # wait/flush bookkeeping lives in the per-CHUNK driver below —
+        # round 5 measured per-step `pl.when` branches at ~hundreds of
+        # scalar-core cycles each, which was most of the build's missing
+        # ~2× vs its vector-op model (benchmarks/dp_census.py).
         u_buf_ref[slot, row] = new_arg.astype(u_buf_ref.dtype)
-
-        @pl.when(row == 0)
-        def _():  # chunk complete (sweep is backward): flush it
-            pltpu.make_async_copy(
-                u_buf_ref.at[slot],
-                U_at(pl.ds(chunk * K, K)),
-                send_sem.at[slot],
-            ).start()
-
         return phi_next
 
-    # Manual unrolling (same pattern as _dp_kernel_batched): Mosaic supports
-    # only unroll=1 or full unroll in lax loops, so process `unroll`
-    # consecutive steps per loop iteration (remainder first).  At small Lp
-    # (conv: (8, 256) planes = 2 vregs/op) the per-iteration loop control +
-    # chunk bookkeeping dominates the ~90 useful vreg-ops per step — the
-    # device-side roofline measured 11.9% of the VPU bound at unroll=1
-    # (BASELINE_SELF.md, round 3).
-    U_ = max(1, min(unroll, nsteps))
-    rem = nsteps % U_
+    # Chunk-major backward sweep: chunks c = nchunks-1 … 0, rows r = K-1 … 0
+    # (i = c·K + r decreasing throughout).  Per chunk: one wait for the
+    # slot's outstanding flush, a BRANCHLESS manually-unrolled row loop
+    # (Mosaic supports only unroll=1/full in lax loops), one flush DMA.
+    nchunks = -(-nsteps // K)
+    rem_t = nsteps - (nchunks - 1) * K  # rows in the first-swept (top) chunk
+    U_ = max(1, min(unroll, K))
 
-    def super_step(s, phi):
-        base = rem + s * U_
-        for t in range(U_):
-            phi = step(base + t, phi)
+    def rows_desc(c, slot, nrows, phi):
+        # nrows is static; process rows nrows-1 … 0 of chunk c.
+        nsuper = nrows // U_
+
+        def sstep(s, phi):
+            for t in range(U_):
+                r = nrows - 1 - (s * U_ + t)
+                phi = step(c * K + r, slot, r, phi)
+            return phi
+
+        phi = jax.lax.fori_loop(0, nsuper, sstep, phi, unroll=False)
+        for t in range(nrows - nsuper * U_):  # static leftover (smallest r)
+            r = nrows - nsuper * U_ - 1 - t
+            phi = step(c * K + r, slot, r, phi)
         return phi
 
+    def flush(c, slot):
+        pltpu.make_async_copy(
+            u_buf_ref.at[slot], U_at(pl.ds(c * K, K)), send_sem.at[slot]
+        ).start()
+
     phi = phi_init
-    if rem:
-        phi = jax.lax.fori_loop(0, rem, step, phi, unroll=False)
-    phi = jax.lax.fori_loop(0, nsteps // U_, super_step, phi, unroll=False)
+    if nchunks == 0:  # nt == 1: terminal layer only
+        phi0_out[:] = phi
+        return
+    # Top (possibly partial) chunk — static index, no outstanding DMA yet.
+    c_top = nchunks - 1
+    phi = rows_desc(c_top, c_top % 2, rem_t, phi)
+    flush(c_top, c_top % 2)
+
+    def chunk_body(ci, phi):
+        c = nchunks - 1 - ci
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 2 <= nchunks - 1)
+        def _():  # reuse: wait for this slot's previous flush (chunk c+2)
+            pltpu.make_async_copy(
+                u_buf_ref.at[slot], U_at(pl.ds((c + 2) * K, K)),
+                send_sem.at[slot],
+            ).wait()
+
+        phi = rows_desc(c, slot, K, phi)
+        flush(c, slot)
+        return phi
+
+    phi = jax.lax.fori_loop(1, nchunks, chunk_body, phi, unroll=False)
     phi0_out[:] = phi
 
     # Drain the last two outstanding chunk DMAs (chunks 0 and 1).
@@ -293,8 +304,7 @@ def _dp_kernel_batched(
         _INF,
     )
 
-    def step(i_rev, _):
-        i = nsteps - 1 - i_rev  # sweep i = nt-2 … 0
+    def step(i, slot, row, _):  # one backward step at time index i
         phi = phi_ref[:]
 
         # Tropical contraction with running argmin over successor j (< L).
@@ -328,51 +338,60 @@ def _dp_kernel_batched(
             new_arg = jnp.where(sel, a, new_arg)
 
         phi_ref[:] = stage_ref[i][:, :, None] + new_phi
+        # DMA bookkeeping lives in the per-CHUNK driver (see _dp_kernel —
+        # per-step `pl.when` branches were most of the builds' missing ~2×).
+        u_buf_ref[slot, :, row] = new_arg.astype(u_buf_ref.dtype)
+        return ()
 
-        # Chunked double-buffered streaming of the argmin planes; the copy
-        # (S, K, Lp, Bp) → U[:, cK:cK+K] is one strided DMA per chunk.
-        chunk = i // K
-        slot = jax.lax.rem(chunk, 2)
-        row = i - chunk * K
+    # Chunk-major backward sweep (see _dp_kernel): chunks nchunks-1 … 0,
+    # rows K-1 … 0, branchless manually-unrolled row loops, one wait + one
+    # flush DMA per chunk.
+    nchunks = -(-nsteps // K)
+    rem_t = nsteps - (nchunks - 1) * K if nchunks else 0
+    U_ = max(1, min(unroll, K))
 
-        @pl.when((row == K - 1) | (i == nsteps - 1))
-        def _():
-            @pl.when(chunk <= (nsteps - 1) // K - 2)
-            def _():
+    def rows_desc(c, slot, nrows):
+        nsuper = nrows // U_
+
+        def sstep(s, _):
+            for t in range(U_):
+                r = nrows - 1 - (s * U_ + t)
+                step(c * K + r, slot, r, ())
+            return ()
+
+        jax.lax.fori_loop(0, nsuper, sstep, (), unroll=False)
+        for t in range(nrows - nsuper * U_):  # static leftover (smallest r)
+            r = nrows - nsuper * U_ - 1 - t
+            step(c * K + r, slot, r, ())
+
+    def flush(c, slot):
+        pltpu.make_async_copy(
+            u_buf_ref.at[slot], U_hbm_ref.at[:, pl.ds(c * K, K)],
+            send_sem.at[slot],
+        ).start()
+
+    if nchunks:
+        c_top = nchunks - 1
+        rows_desc(c_top, c_top % 2, rem_t)
+        flush(c_top, c_top % 2)
+
+        def chunk_body(ci, _):
+            c = nchunks - 1 - ci
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 2 <= nchunks - 1)
+            def _():  # reuse: wait for this slot's previous flush (c+2)
                 pltpu.make_async_copy(
                     u_buf_ref.at[slot],
-                    U_hbm_ref.at[:, pl.ds((chunk + 2) * K, K)],
+                    U_hbm_ref.at[:, pl.ds((c + 2) * K, K)],
                     send_sem.at[slot],
                 ).wait()
 
-        u_buf_ref[slot, :, row] = new_arg.astype(u_buf_ref.dtype)
+            rows_desc(c, slot, K)
+            flush(c, slot)
+            return ()
 
-        @pl.when(row == 0)
-        def _():
-            pltpu.make_async_copy(
-                u_buf_ref.at[slot],
-                U_hbm_ref.at[:, pl.ds(chunk * K, K)],
-                send_sem.at[slot],
-            ).start()
-
-        return ()
-
-    # Manual unrolling: Mosaic supports only unroll=1 or full unroll in
-    # lax loops, so process `unroll` consecutive steps per loop iteration
-    # (remainder first) — amortizes the per-iteration loop overhead that
-    # dominates at these tiny per-step workloads.
-    U_ = max(1, min(unroll, nsteps))
-    rem = nsteps % U_
-
-    def super_step(s, _):
-        base = rem + s * U_
-        for t in range(U_):
-            step(base + t, ())
-        return ()
-
-    if rem:
-        jax.lax.fori_loop(0, rem, step, (), unroll=False)
-    jax.lax.fori_loop(0, nsteps // U_, super_step, (), unroll=False)
+        jax.lax.fori_loop(1, nchunks, chunk_body, (), unroll=False)
 
     for chunk in range(min(2, (nsteps + K - 1) // K)):
         pltpu.make_async_copy(
