@@ -66,10 +66,10 @@ def _conv_f_batch(xs, K, fvec, mdiag, moff, precision="highest"):
     trial wave's evaluations bit-match the single objective, which routes
     through a duplicated 2-row batch of this same function.  ``precision``
     sets the MXU pass count: the TPU default single-bf16-pass costs ~1e-3
-    relative on f and FAILED the on-chip FD tests (round 4); ``"highest"``
-    (6-pass) fixed them at a 57.5 → 46.2 iters/s cost; round 5 measured the
-    intermediate ``"float32"`` (3-pass) against the same tolerances — see
-    ``ConvObj.matmul_precision``."""
+    relative on f and FAILED the on-chip FD tests (round 4);
+    ``"float32"`` (3-pass, the default) passes the identical tolerances
+    with controls bit-identical to ``"highest"`` (6-pass) and runs 1.17×
+    faster — see ``ConvObj.matmul_precision``."""
     with jax.default_matmul_precision(precision):
         v = xs[:, :, 0] @ K.T - fvec[None, :]      # (Kb, nt+1)
         return 0.5 * jnp.sum(v * _mass_mv_rows(mdiag, moff, v), axis=1)
@@ -102,9 +102,10 @@ class ConvObj(LazyObjective):
     # The objective always evaluates through a Kb ≥ 2 batch of
     # ``_conv_f_batch`` (see its docstring), so batched trial evaluations
     # bit-match the sequential ones — the speculative wave is EXACT here
-    # and defaults ON (46.2 vs 43.3 iters/s at nt=1024 on v5e with
-    # bit-matching controls once the decision reductions went row-shaped —
-    # benchmarks/singletrm_rates.py round 4).
+    # and defaults ON (~1000 wave vs 678 sequential iters/s at nt=1024 on
+    # v5e with bit-matching controls; round 4 recorded 46.2 from a timing
+    # flaw that measured a per-rep operator upload —
+    # benchmarks/singletrm_rates.py, BASELINE_SELF.md round 5).
     _batched_sweeps_bitexact = True
 
     def __init__(self, nt: int = 2048, *, omega0=np.pi, dtype=None,

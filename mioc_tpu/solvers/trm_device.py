@@ -132,8 +132,8 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     non-speculative loop performs), so traces stay comparable — the device
     does K sweeps per outer iteration, but batched, which is the point:
     one batched wave replaces ~4-5 sequential trial evaluations and chases
-    per outer iteration (fishing nt=1024: 495.4 wave vs 166.4 sequential
-    iters/s on v5e — BASELINE_SELF.md round 4).
+    per outer iteration (fishing nt=1024: 512 wave vs 169 sequential
+    iters/s on v5e — BASELINE_SELF.md round 5).
 
     ``wave_chase`` selects how the wave extracts its trial controls:
     ``"vmap"`` (default — broadcast the tables K-fold and run the
@@ -145,10 +145,13 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
     ``outer_unroll``/``inner_unroll`` run that many GUARDED outer bodies /
     inner trials per ``while_loop`` iteration (each step is a full-carry
     select that no-ops once its condition fails, so results are
-    bit-identical to the unrolled=1 loop): the round-4 profile attributed
-    ~60% of ×32 multistart device time to while-loop self time — one
-    condition sync per N steps amortizes exactly that, at the price of up
-    to N−1 masked steps of over-compute at each loop's tail."""
+    bit-identical to the unrolled=1 loop).  Measured round 5: a NO-OP at
+    every grid point (0.96-0.99×, benchmarks/multistart_unroll.py) — the
+    "while-loop self time" that motivated the knob was a profiling
+    artifact (nested spans counted at full duration; the fixed parser in
+    benchmarks/dp_roofline.py shows ~zero loop overhead), and a direct
+    probe measured device while iterations at ~0 µs even with MB-sized
+    carries.  Kept as an experiment knob; defaults stay 1."""
     adm = obj.admissible
     if adm is None or adm.L == 0:
         raise ValueError("Objective has no admissible integer level combinations.")
@@ -621,7 +624,7 @@ def trm_solve_device(obj, par=None, x0=None, seed: Optional[int] = None,
     measures 244 iters/s vs the sequential loop's 112 with bit-identical
     trajectories (benchmarks/heat_spec_tpu.py) — and, since round 4, for
     the convolution objective, whose batch-shaped quadratic runs the same
-    way (46.2 vs 43.3 iters/s; models/convolution.py).  Objectives whose
+    way (~1000 vs 678 iters/s; models/convolution.py).  Objectives whose
     batched sweeps are NOT declared bit-exact (e.g. ELL-format cg/mg PDE
     engines) stay sequential by default: the wave is exact in exact
     arithmetic (bit-identical on CPU f64) but the f32 trajectory can drift
@@ -717,8 +720,8 @@ def multistart_solve_device(obj, par, x0s, mesh=None, use_pallas=None,
     behavior (results are identical either way).
 
     Batched solves default to the fused Pallas kernels on TPU (raw padded
-    tables flow build → chase with no intermediate copies): 26.5 vs the
-    scan path's 49.9 ms/solve at ×32 fishing nt=1024 on v5e, bit-matching
+    tables flow build → chase with no intermediate copies): 13.1 vs the
+    scan path's 48.6 ms/solve at ×32 fishing nt=1024 on v5e, bit-matching
     controls (round 1 shipped the opposite default — its grid-over-starts
     kernel LOST at 75 ms/solve; the start axis now lives inside one kernel
     invocation for both build and backtrack)."""
