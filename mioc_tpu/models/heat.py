@@ -82,6 +82,7 @@ class HeatObj(PDEObjective):
         cg_iters: int = 40,
         mesh_hierarchy=None,
         sparse_format: str = "ell",
+        matmul_precision: str = "highest",
         dtype=None,
     ):
         V = [[0, 1, 2, 3, 4, 5], [0, 1, 2, 3, 4, 5]]
@@ -155,6 +156,7 @@ class HeatObj(PDEObjective):
         self.setup_operators(
             M, A, F, state0, mode=solver, cg_iters=cg_iters,
             mg_meshes=self._mesh_hierarchy, mg_fe=self.fe, fmt=sparse_format,
+            matmul_precision=matmul_precision,
         )
 
     @property

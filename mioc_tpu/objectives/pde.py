@@ -99,7 +99,7 @@ class PDEObjective(LazyObjective):
     # -- operator precompute ---------------------------------------------------
     def setup_operators(self, M, A, F, state0, *, mode: str = "dense",
                         cg_iters: int = 40, mg_meshes=None, mg_fe=None,
-                        fmt: str = "ell"):
+                        fmt: str = "ell", matmul_precision: str = "highest"):
         """Precompute the sweep operators and compile the scans.
 
         ``mode="dense"`` (default): dense inverse ``S⁻¹ = (I + τM⁻¹A)⁻¹``
@@ -128,10 +128,20 @@ class PDEObjective(LazyObjective):
         ``self.state``/``self.adjoint`` are permuted, and
         :meth:`unpermute_dofs` maps back (``self.dof_perm`` holds the
         permutation).
+
+        ``matmul_precision`` sets the MXU pass count for every compiled
+        sweep (traced under ``jax.default_matmul_precision``).  The sweeps
+        are the framework's physics fidelity (the reference is f64), so
+        the default is ``"highest"`` (6 bf16 passes = full f32 — the TPU
+        single-pass default cost ~1e-3 relative on the heat objective,
+        TPU_TESTS_r02.md); ``"float32"`` (3 passes) is the measured-safe
+        speed option on the conv objective and available here as opt-in.
+        Part of the sweep-cache key (a plain string attribute).
         """
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
 
+        self.matmul_precision = str(matmul_precision)
         if mode not in ("dense", "cg", "mg"):
             raise ValueError(f"unknown operator mode {mode!r}")
         if mode == "mg" and (mg_meshes is None or mg_fe is None):
@@ -306,6 +316,7 @@ class PDEObjective(LazyObjective):
             return
 
         tau, nt = self.tau, self.nt
+        mprec = getattr(self, "matmul_precision", "highest")
         mode = getattr(self, "solver_mode", "dense")
         cg_mode = mode in ("cg", "mg")
         banded = cg_mode and getattr(self, "sparse_format", "ell") == "banded"
@@ -386,7 +397,7 @@ class PDEObjective(LazyObjective):
         # contract as the dense batch below).
         @jax.jit
         def forward_batch_banded(xs, ops):  # xs (K, nt, nx), K ≥ 2
-            with self._bound(ops), jax.default_matmul_precision("highest"):
+            with self._bound(ops), jax.default_matmul_precision(mprec):
                 Kmvr = make_K_rows(ops)
                 Mmvr = make_M_rows(ops)
                 pcr = make_pc_rows(ops)
@@ -432,7 +443,7 @@ class PDEObjective(LazyObjective):
 
         @jax.jit
         def forward_batch(xs, ops):  # xs (K, nt, nx), K ≥ 2
-            with self._bound(ops), jax.default_matmul_precision("highest"):
+            with self._bound(ops), jax.default_matmul_precision(mprec):
                 M_invF = ops["M_invF"]
                 Sinv = ops["Sinv"]
                 Kb = xs.shape[0]
@@ -463,7 +474,7 @@ class PDEObjective(LazyObjective):
 
         @jax.jit
         def forward(x, ops):
-            with self._bound(ops), jax.default_matmul_precision("highest"):
+            with self._bound(ops), jax.default_matmul_precision(mprec):
                 M_invF = ops["M_invF"]
                 if banded:
                     # Route through the duplicated 2-row K-RHS batch: same
@@ -498,7 +509,7 @@ class PDEObjective(LazyObjective):
 
         @jax.jit
         def adjoint(x, ys_all, ops):
-            with self._bound(ops), jax.default_matmul_precision("highest"):
+            with self._bound(ops), jax.default_matmul_precision(mprec):
                 M_invF = ops["M_invF"]
                 lamT = jnp.zeros(self.Nglobal_dofs, self.dtype)
                 if cg_mode:
