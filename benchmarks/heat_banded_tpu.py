@@ -60,10 +60,10 @@ def main():
     fb, yb = obj._forward_batch_with(us, ops)
     fb, yb = np.asarray(fb), np.asarray(yb)
     ok = True
-    for k in range(4):
+    for k in range(4):  # yb is time-major: batch axis second
         f1, y1 = obj._forward_with(us[k], ops)
         ok &= (np.asarray(f1).tobytes() == fb[k].tobytes()
-               and np.array_equal(np.asarray(y1), yb[k]))
+               and np.array_equal(np.asarray(y1), yb[:, k]))
     print(f"K-row bit-invariance (K=4 vs duplicated-2-row singles): {ok}",
           flush=True)
 

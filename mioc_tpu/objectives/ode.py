@@ -333,12 +333,16 @@ class ODEObjective(LazyObjective):
         # vmap keeps every lane's arithmetic identical, so this changes no
         # mathematical semantics; the trapezoid reduction becomes a
         # row-reduction at K ≥ 2, which is batch-size invariant on TPU.
-        vfwd = jax.vmap(forward)
+        # ys comes back TIME-major (nt, K, n) — out_axes=1 keeps the vmapped
+        # scan's natural stacking (no trailing moveaxis, whose fusion into
+        # the scan forces scattered per-step stores; the same layout lever
+        # as PDEObjective.forward_batch).  Consumers select ``ys[:, k]``.
+        vfwd = jax.vmap(forward, out_axes=(0, 1))
         vadj = jax.vmap(adjoint)
 
         def forward2(x):
             f2, ys2 = vfwd(jnp.stack([x, x]))
-            return f2[0], ys2[0]
+            return f2[0], ys2[:, 0]
 
         def adjoint2(x, ys):
             df2, lam2 = vadj(jnp.stack([x, x]), jnp.stack([ys, ys]))
@@ -351,9 +355,11 @@ class ODEObjective(LazyObjective):
                              self._forward_batch_ops)
 
     def _forward_batch_with(self, xs, ops):
-        """K-row batched forward ``xs (K, nt, nx) → (fvals (K,), ys)`` —
-        the speculative trial wave's evaluation path; rows bit-match
-        :meth:`_forward_with` (elementwise vmap + K ≥ 2 row reductions)."""
+        """K-row batched forward ``xs (K, nt, nx) → (fvals (K,),
+        ys (nt, K, n))`` — the speculative trial wave's evaluation path;
+        rows bit-match :meth:`_forward_with` (elementwise vmap + K ≥ 2 row
+        reductions).  ``ys`` is TIME-major, batch axis second — select
+        ``ys[:, k]``."""
         return self._forward_batch_ops(xs)
 
     # -- protocol hooks --------------------------------------------------------

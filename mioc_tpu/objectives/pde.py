@@ -426,20 +426,31 @@ class PDEObjective(LazyObjective):
                     ynew = cg_solve_rows(Kmvr, rhs, y, pcr, cg_iters)
                     return ynew, ynew
 
-                _, ys = lax.scan(step, y0, xs.transpose(1, 0, 2))
+                xs_tm = xs.transpose(1, 0, 2)                   # (nt, K, nx)
+                _, ys = lax.scan(step, y0, xs_tm)
+                # ys stays TIME-major (nt+1, K, N): transposing it to
+                # K-major forced the scan's per-step stores into a
+                # K-major-layout buffer — scattered (N-sized) row writes at
+                # ~4× the per-element cost of the contiguous time-major
+                # stacking (xplane, round-5 heat ×8 profile: 6.5 µs/step
+                # dynamic_update_slice, ~16% of the batch).  Consumers
+                # select start/trial COLUMNS (`ys[:, k]`).  Per-row G bits
+                # are position-invariant in the row-stacked MXU call, so
+                # reordering the G rows time-major changes no row's bits,
+                # and the trapezoid reduce sees the same (Kb, nt+1) logical
+                # shape as before — fvals bits unchanged (on-chip suite).
                 ys_all = jnp.concatenate([y0[None], ys])        # (nt+1, K, N)
-                ys_all = ys_all.transpose(1, 0, 2)              # (K, nt+1, N)
 
                 u_idx = jnp.minimum(jnp.arange(nt + 1), nt - 1)
-                uu = xs[:, u_idx]                               # (K, nt+1, nx)
-                t_idx = jnp.tile(jnp.arange(nt + 1), Kb)
+                uu = xs_tm[u_idx]                               # (nt+1, K, nx)
+                t_idx = jnp.repeat(jnp.arange(nt + 1), Kb)
                 gvals = self._G_rows(
-                    ys_all.reshape(Kb * (nt + 1), N),
-                    uu.reshape(Kb * (nt + 1), self.nx),
-                    t_idx).reshape(Kb, nt + 1)
+                    ys_all.reshape((nt + 1) * Kb, N),
+                    uu.reshape((nt + 1) * Kb, self.nx),
+                    t_idx).reshape(nt + 1, Kb).T
                 w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
                 return (tau * jnp.sum(w[None] * gvals, axis=-1)[:K_in],
-                        ys_all[:K_in])
+                        ys_all[:, :K_in])
 
         @jax.jit
         def forward_batch(xs, ops):  # xs (K, nt, nx), K ≥ 2
@@ -454,18 +465,19 @@ class PDEObjective(LazyObjective):
                     ynew = (ys + tau * (us_t @ M_invF.T)) @ Sinv.T
                     return ynew, ynew
 
-                _, ys = lax.scan(step, y0, xs.transpose(1, 0, 2))
+                xs_tm = xs.transpose(1, 0, 2)                   # (nt, K, nx)
+                _, ys = lax.scan(step, y0, xs_tm)
+                # TIME-major stacking — see forward_batch_banded's note.
                 ys_all = jnp.concatenate([y0[None], ys])        # (nt+1, K, N)
-                ys_all = ys_all.transpose(1, 0, 2)              # (K, nt+1, N)
 
                 u_idx = jnp.minimum(jnp.arange(nt + 1), nt - 1)
-                uu = xs[:, u_idx]                               # (K, nt+1, nx)
-                t_idx = jnp.tile(jnp.arange(nt + 1), Kb)
+                uu = xs_tm[u_idx]                               # (nt+1, K, nx)
+                t_idx = jnp.repeat(jnp.arange(nt + 1), Kb)
                 gvals = jax.vmap(
                     lambda y, u_, t_: self.G(y, u_, t_) + self.G_t(u_, t_)
-                )(ys_all.reshape(Kb * (nt + 1), N),
-                  uu.reshape(Kb * (nt + 1), self.nx),
-                  t_idx).reshape(Kb, nt + 1)
+                )(ys_all.reshape((nt + 1) * Kb, N),
+                  uu.reshape((nt + 1) * Kb, self.nx),
+                  t_idx).reshape(nt + 1, Kb).T
                 w = jnp.ones(nt + 1, self.dtype).at[0].set(0.5).at[nt].set(0.5)
                 # Native row-reduction: this function always runs with
                 # Kb ≥ 2, and row-reduction bits are batch-size invariant
@@ -482,7 +494,7 @@ class PDEObjective(LazyObjective):
                     # at the banded engine's HBM bound a 2-row sweep costs
                     # the same operator traffic as one.
                     fvals, ys_b = forward_batch_banded(jnp.stack([x, x]), ops)
-                    return fvals[0], ys_b[0]
+                    return fvals[0], ys_b[:, 0]
                 elif cg_mode:
                     Kmv, Mmv, pc = make_K(ops), make_M(ops), make_pc(ops)
 
@@ -495,7 +507,7 @@ class PDEObjective(LazyObjective):
                 else:
                     # Route through the 2-row batch (see forward_batch note).
                     fvals, ys_b = forward_batch(jnp.stack([x, x]), ops)
-                    return fvals[0], ys_b[0]
+                    return fvals[0], ys_b[:, 0]
 
                 _, ys = lax.scan(step, jnp.asarray(self.state0), x)
                 ys_all = jnp.concatenate([self.state0[None], ys])  # (nt+1, N)
@@ -597,11 +609,14 @@ class PDEObjective(LazyObjective):
         return self._forward_ops(x, ops)
 
     def _forward_batch_with(self, xs, ops):
-        """Batched forward sweep ``xs (K, nt, nx) → (fvals (K,), ys (K, …))``
-        whose per-row bits equal :meth:`_forward_with` on the same control
-        (dense mode and the banded cg/mg engine; the speculative trial
-        wave's evaluation path).  ``None`` for the ELL cg/mg engine —
-        callers fall back to ``jax.vmap``."""
+        """Batched forward sweep ``xs (K, nt, nx) → (fvals (K,),
+        ys (nt+1, K, N))`` whose per-row bits equal :meth:`_forward_with`
+        on the same control (dense mode and the banded cg/mg engine; the
+        speculative trial wave's evaluation path).  ``ys`` is TIME-major
+        with the batch axis SECOND — consumers select ``ys[:, k]`` (the
+        scan's natural stacking; a K-major return forced scattered
+        per-step stores, ~16% of the heat ×8 batch).  ``None`` for the
+        ELL cg/mg engine — callers fall back to ``jax.vmap``."""
         if self._forward_batch_ops is None:
             return None
         return self._forward_batch_ops(xs, ops)

@@ -328,12 +328,15 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
                 # Batch-shaped forward (dense PDE / conv): per-row bits
                 # equal the sequential loop's single evaluation, which
                 # itself runs as a duplicated 2-row batch of the same
-                # function — see objectives/pde.py.
+                # function — see objectives/pde.py.  ys comes back
+                # TIME-major (nt+1, K, N): trials live on axis 1.
                 J_news, ys_b = obj._forward_batch_with(us, sweep_ops)
-                ys_news = (jnp.zeros((K_spec, 1), us.dtype)
+                _ys_trial_axis = 1
+                ys_news = (jnp.zeros((1, K_spec), us.dtype)
                            if _ys_is_none else ys_b)
             else:
                 J_news, ys_news = jax.vmap(fwd)(us)
+                _ys_trial_axis = 0
 
             pred_k = int_vals + beta * (TV_old - TV_news)
             ared_k = jnp.where(
@@ -354,7 +357,8 @@ def make_device_trm(obj, par, use_pallas: Optional[bool] = None,
             optimal = has & optimal_k[sel]
             good = has & good_k[sel]
             u = us[sel]
-            ys_new = ys_news[sel]
+            ys_new = (ys_news[:, sel] if _ys_trial_axis == 1
+                      else ys_news[sel])
             J_new = J_news[sel]
             TV_new = TV_news[sel]
 

@@ -271,18 +271,20 @@ def test_pde_forward_batch_rows_match_single_banded():
     us = jnp.stack([jnp.asarray(rand_func(obj, seed=s), obj.dtype)
                     for s in range(4)])
     fvals, ys = obj._forward_batch_with(us, ops)
-    assert fvals.shape == (4,) and ys.shape[0] == 4
+    # ys is TIME-major: (nt+1, K, N) — the batch axis is SECOND.
+    assert fvals.shape == (4,) and ys.shape[1] == 4
     exact = jax.devices()[0].platform == "tpu"
     for k in range(4):
         f1, y1 = obj._forward_with(us[k], ops)
         if exact:
             np.testing.assert_array_equal(np.asarray(fvals[k]),
                                           np.asarray(f1))
-            np.testing.assert_array_equal(np.asarray(ys[k]), np.asarray(y1))
+            np.testing.assert_array_equal(np.asarray(ys[:, k]),
+                                          np.asarray(y1))
         else:
             np.testing.assert_allclose(np.asarray(fvals[k]), np.asarray(f1),
                                        rtol=1e-12 if F64 else 1e-5)
-            np.testing.assert_allclose(np.asarray(ys[k]), np.asarray(y1),
+            np.testing.assert_allclose(np.asarray(ys[:, k]), np.asarray(y1),
                                        rtol=1e-11 if F64 else 1e-4,
                                        atol=1e-12 if F64 else 1e-4)
 
@@ -303,16 +305,18 @@ def test_pde_forward_batch_rows_match_single():
     us = jnp.stack([jnp.asarray(rand_func(obj, seed=s), obj.dtype)
                     for s in range(5)])
     fvals, ys = obj._forward_batch_with(us, ops)
-    assert fvals.shape == (5,) and ys.shape[0] == 5
+    # ys is TIME-major: (nt+1, K, N) — the batch axis is SECOND.
+    assert fvals.shape == (5,) and ys.shape[1] == 5
     exact = jax.devices()[0].platform == "tpu"
     for k in range(5):
         f1, y1 = obj._forward_with(us[k], ops)
         if exact:
             np.testing.assert_array_equal(np.asarray(fvals[k]),
                                           np.asarray(f1))
-            np.testing.assert_array_equal(np.asarray(ys[k]), np.asarray(y1))
+            np.testing.assert_array_equal(np.asarray(ys[:, k]),
+                                          np.asarray(y1))
         else:
             np.testing.assert_allclose(np.asarray(fvals[k]), np.asarray(f1),
                                        rtol=1e-12 if F64 else 1e-5)
-            np.testing.assert_allclose(np.asarray(ys[k]), np.asarray(y1),
+            np.testing.assert_allclose(np.asarray(ys[:, k]), np.asarray(y1),
                                        rtol=1e-12 if F64 else 1e-4)
