@@ -391,7 +391,12 @@ def main():
 
     if is_tpu and _left() > 400:
         try:
-            rate, _ = trm_iters_per_s("heat", nt=500, outer_chunk="auto")
+            # outer_chunk=None: a dense nt=500 heat wave solve runs ~0.75 s
+            # in ONE dispatch — far under the tunnel's execution deadline —
+            # and "auto"'s two probe segments tax a ~1 s solve ~20%
+            # (324 vs 398 iters/s, BASELINE_SELF precision-knob entry).
+            # "auto" remains the library default for unknown sizes.
+            rate, _ = trm_iters_per_s("heat", nt=500, outer_chunk=None)
             m = {
                 "metric": "trm_iters_per_s_heat_nt500",
                 "value": round(rate, 2),
@@ -449,8 +454,11 @@ def main():
     # item 6) -------------------------------------------------------------
     if is_tpu and _left() > 900:
         try:
+            # outer_chunk=None: the ×8 dense heat batch runs ~2.2 s in ONE
+            # dispatch (far under the tunnel deadline; segmenting at 25
+            # cost 1.15× — 320.2 vs 277.5 ms/solve, round-5 session 2).
             ms = multistart_ms_per_solve(S=8, nt=500, problem="heat",
-                                         outer_chunk=25, reps=2)
+                                         outer_chunk=None, reps=2)
             metrics.append({
                 "metric": "multistart_ms_per_solve_heat_x8",
                 "value": round(ms, 1),
